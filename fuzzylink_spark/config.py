@@ -1,0 +1,54 @@
+"""Pipeline configuration.
+
+Mirrors the surface of the reference's ``fuzzylink()`` signature
+(reference R/fuzzylink.R:32-45: by, blocking.variables, record_type,
+model/learner, fmla features, max_labels, embedding_dimensions, seed)
+re-expressed for a Spark pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class LinkConfig:
+    # --- matching surface (reference R/fuzzylink.R:32-45) ---
+    by: str = "name"
+    blocking_keys: list[str] = field(default_factory=list)
+    record_type: str = "entity"           # prompt context in reference; metadata here
+    learner: str = "em"                   # 'em' (mixture, offline) | 'logit' (labeled fit)
+    features: list[str] = field(default_factory=lambda: ["sim", "jw"])
+    max_labels: int = 10_000              # label budget (R/fuzzylink.R:43)
+    embedding_dim: int = 256              # R/fuzzylink.R:39
+    seed: int = 42
+
+    # --- active learning (R/fuzzylink.R:252-259) ---
+    initial_train_n: int = 500            # n_t cap, R/fuzzylink.R:203-204
+    al_batch: int = 100                   # batch of 100 per AL iteration
+    al_kernel_sd: float = 0.2             # dnorm(qlogis(p), 0, 0.2)
+    al_grad_tol: float = 0.01             # rolling-5 gradient threshold (glm)
+    al_rolling_window: int = 5
+
+    # --- cutoff search (R/fuzzylink.R:344-371) ---
+    fallback_cutoff: float = 0.5          # NaN-F1 guard, R/fuzzylink.R:366-370
+    cutoff_bins: int = 2000               # histogram resolution for scale mode
+
+    # --- scale / physical plan knobs ---
+    shuffle_partitions: int = 32
+    block_pair_budget: int = 50_000_000   # max |uA|x|uB| pairs per block before salting warning
+    salt_buckets: int = 8                 # sub-splits for hot blocking keys
+    salt_threshold: int = 10_000          # per-block side-size above which we salt
+    broadcast_threshold_rows: int = 1_000_000
+
+    # --- checkpointing / lineage ---
+    work_dir: str | None = None           # stage checkpoint root; None = no persistence
+    resume: bool = True                   # reuse existing stage outputs when fingerprints match
+
+    # --- encoder (replaces the reference's remote embedding service,
+    #     R/get_embeddings.R:21-197, with a deterministic local encoder) ---
+    encoder_ngrams: tuple[int, ...] = (2, 3, 4)
+    encoder_seed: int = 1234
+
+
+DEFAULT_CONFIG = LinkConfig()

@@ -1,0 +1,113 @@
+"""Expected-F1 cutoff search (reference ``get_cutoff()``, R/fuzzylink.R:344-371).
+
+The reference sorts ALL pairs twice (asc + desc by match_probability) and
+takes running sums to build expected TP/FP/FN at every candidate cutoff,
+then picks the probability maximizing expected F1, falling back to 0.5 when
+F1 is NaN everywhere (R/fuzzylink.R:366-370).
+
+Scale design: a global sort of 10^12 pairs just to pick one scalar is the
+wrong plan. We aggregate probabilities into a bounded histogram first
+(one shuffle, ≤ bins rows), then run the same running-sum program over the
+histogram with a single-partition window — mathematically identical when
+probabilities are bucketed, and the bucket width bounds the cutoff error at
+1/bins. ``exact=True`` keeps the reference's exact per-row program for
+fixture parity at small scale.
+
+Semantics of the running sums (W1-W3):
+  asc  order: expected_fn(c)  = Σ_{p<c} p         (matches lost below cutoff)
+              identified_fn(c)= Σ_{p<c} [label=Yes]
+  desc order: expected_fp(c)  = Σ_{p>=c} (1-p)
+              expected_tp(c)  = Σ_{p>=c} p
+  precision = TP/(TP+FP); recall = TP/(TP+FN); F1 = 2PR/(P+R)
+Labeled rows contribute their hard label instead of p (the reference mixes
+identified and expected counts the same way, R/fuzzylink.R:345-364).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _f1_frame(df: DataFrame, p_col: str, w_col: str | None,
+              label_col: str | None) -> DataFrame:
+    """Shared running-sum program over rows carrying (p, weight, label)."""
+    w = F.col(w_col) if w_col else F.lit(1.0)
+    p = F.col(p_col)
+    if label_col:
+        is_yes = (F.col(label_col) == "Yes").cast("double") * w
+        is_no = (F.col(label_col) == "No").cast("double") * w
+        unl = F.col(label_col).isNull().cast("double") * w
+        tp_c = unl * p + is_yes          # contribution if kept
+        fp_c = unl * (1 - p) + is_no
+        fn_c = unl * p + is_yes          # contribution if dropped
+    else:
+        tp_c = w * p
+        fp_c = w * (1 - p)
+        fn_c = w * p
+
+    asc = Window.orderBy(F.col(p_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
+    desc = Window.orderBy(F.col(p_col).desc()).rowsBetween(Window.unboundedPreceding, 0)
+
+    out = (
+        df.withColumn("fn", F.coalesce(F.sum(fn_c).over(asc), F.lit(0.0)))
+        .withColumn("tp", F.sum(tp_c).over(desc))
+        .withColumn("fp", F.sum(fp_c).over(desc))
+    )
+    precision = F.col("tp") / (F.col("tp") + F.col("fp"))
+    recall = F.col("tp") / (F.col("tp") + F.col("fn"))
+    f1 = F.lit(2.0) * precision * recall / (precision + recall)
+    return out.withColumn(
+        "expected_f1",
+        F.when(F.isnan(f1) | f1.isNull(), F.lit(0.0)).otherwise(f1),
+    )
+
+
+def expected_f1_cutoff(
+    pairs: DataFrame,
+    p_col: str = "match_probability",
+    label_col: str | None = "match",
+    bins: int = 2000,
+    exact: bool = False,
+    fallback: float = 0.5,
+) -> float:
+    """Pick the probability cutoff maximizing expected F1 (A6 argmax).
+
+    ``exact`` reproduces the reference row-level program; the default
+    histogram mode buckets p to 1/bins before the same math.
+    """
+    cols = [p_col] + ([label_col] if label_col and label_col in pairs.columns else [])
+    df = pairs.select(*cols)
+    label = label_col if label_col and label_col in pairs.columns else None
+
+    if exact:
+        frame = _f1_frame(df, p_col, None, label)
+    else:
+        b = F.round(F.col(p_col) * bins) / bins
+        grouped = df.withColumn("_pb", b).groupBy(
+            "_pb", *( [label] if label else [] )
+        ).agg(F.count("*").cast("double").alias("_w"))
+        frame = _f1_frame(grouped.withColumnRenamed("_pb", p_col), p_col, "_w", label)
+
+    best = (
+        frame.orderBy(F.col("expected_f1").desc(), F.col(p_col).asc())
+        .select(p_col, "expected_f1")
+        .first()
+    )
+    if best is None or best["expected_f1"] <= 0.0:
+        return fallback  # NaN-F1 guard (R/fuzzylink.R:366-370)
+    return float(best[p_col])
+
+
+def accepted_matches(pairs: DataFrame, cutoff: float,
+                     p_col: str = "match_probability",
+                     label_col: str = "match") -> DataFrame:
+    """P9 final filter: keep labeled-Yes pairs, or unlabeled pairs above the
+    cutoff (R/fuzzylink.R:471-474)."""
+    if label_col in pairs.columns:
+        cond = (F.col(label_col) == "Yes") | (
+            F.col(label_col).isNull() & (F.col(p_col) > F.lit(cutoff))
+        )
+    else:
+        cond = F.col(p_col) > F.lit(cutoff)
+    return pairs.where(cond)

@@ -1,0 +1,246 @@
+"""Match-probability models: logistic (M1/M3) and EM mixture (M4).
+
+Reference: ``glm(match ~ sim + jw, family='binomial')`` fit on the labeled
+subset (R/fuzzylink.R:240-245, refit at :307-311) and scored over ALL pairs
+(:260-263,303,313,384-388). The labeled set is capped at max_labels=1e4, so
+the fit is a driver-side problem; scoring is distributed.
+
+Spark-first decisions:
+- the logistic fit collects only the (tiny) labeled subset and runs plain
+  NumPy IRLS on the driver — no MLlib dependency, deterministic;
+- scoring broadcasts the coefficient vector as literals: probability is a
+  pure Catalyst column expression (whole-stage codegen, zero Python);
+- the EM mixture (M4 — the offline replacement for the reference's
+  LLM-in-the-loop labeler per the build contract) fits two Gaussian
+  components on the similarity score. At scale the E/M moments are
+  computed on a bounded HISTOGRAM of scores (groupBy rounded score →
+  weighted moments), so each EM iteration aggregates ~2k rows no matter
+  how many pairs exist.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (M1) — driver-side IRLS on the labeled sample
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LogitModel:
+    features: list[str]
+    coef: list[float]      # [intercept, b_1..b_k]
+
+    def score_col(self):
+        """M3: probability as a pure column expression
+        1/(1+exp(-(b0 + b1*f1 + ...))) (R/fuzzylink.R:260-263)."""
+        z = F.lit(self.coef[0])
+        for b, feat in zip(self.coef[1:], self.features):
+            z = z + F.lit(b) * F.col(feat)
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def fit_logit(labeled: DataFrame, features: list[str],
+              label_col: str = "match", max_iter: int = 50,
+              tol: float = 1e-8, ridge: float = 1e-6) -> LogitModel:
+    """M1: fit logit(match) ~ features on rows with match in {'Yes','No'}
+    (R/fuzzylink.R:235,240-245). Collects ≤ max_labels rows; IRLS in NumPy."""
+    pdf = (
+        labeled.where(F.col(label_col).isin("Yes", "No"))
+        .select(*features, label_col)
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        raise ValueError("no labeled rows to fit on")
+    X = np.column_stack([np.ones(len(pdf))] + [pdf[f].to_numpy(float) for f in features])
+    y = (pdf[label_col] == "Yes").to_numpy(float)
+    beta = np.zeros(X.shape[1])
+    for _ in range(max_iter):
+        z = X @ beta
+        p = 1.0 / (1.0 + np.exp(-z))
+        w = np.clip(p * (1 - p), 1e-10, None)
+        H = (X * w[:, None]).T @ X + ridge * np.eye(X.shape[1])
+        g = X.T @ (y - p)
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if float(np.max(np.abs(step))) < tol:
+            break
+    return LogitModel(features=list(features), coef=[float(b) for b in beta])
+
+
+# ---------------------------------------------------------------------------
+# EM two-component Gaussian mixture (M4) on a similarity score
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MixtureModel:
+    pi1: float        # weight of the match component
+    mu0: float
+    sd0: float
+    mu1: float
+    sd1: float
+    feature: str = "sim"
+
+    def posterior_col(self):
+        """P(match | score) as a pure Catalyst expression."""
+        x = F.col(self.feature)
+        def _logpdf(mu: float, sd: float):
+            return (
+                F.lit(-0.5 * math.log(2 * math.pi) - math.log(sd))
+                - (x - F.lit(mu)) ** 2 / F.lit(2 * sd * sd)
+            )
+        l1 = F.lit(math.log(max(self.pi1, 1e-12))) + _logpdf(self.mu1, self.sd1)
+        l0 = F.lit(math.log(max(1 - self.pi1, 1e-12))) + _logpdf(self.mu0, self.sd0)
+        m = F.greatest(l1, l0)
+        return F.exp(l1 - m) / (F.exp(l1 - m) + F.exp(l0 - m))
+
+
+def score_histogram(pairs: DataFrame, feature: str = "sim", bins: int = 2000,
+                    lo: float = -1.0, hi: float = 1.0) -> list[tuple[float, int]]:
+    """Bounded histogram of the score column: ONE distributed aggregation,
+    ≤ ``bins`` rows back to the driver. This is the scale move that makes
+    every EM iteration (and the cutoff search) O(bins) instead of O(pairs)."""
+    width = (hi - lo) / bins
+    hist = (
+        pairs.select(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(F.lit(0), F.floor((F.col(feature) - lo) / width)),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return [(lo + (row["bin"] + 0.5) * width, int(row["n"])) for row in hist]
+
+
+def fit_mixture_em(
+    hist: list[tuple[float, int]],
+    max_iter: int = 200,
+    tol: float = 1e-9,
+    init_split: float = 0.9,
+) -> MixtureModel:
+    """EM on a weighted histogram of scores. Initialization: top
+    (1-init_split) mass seeds the match component. Converges in <50
+    iterations on realistic score distributions. Prefer
+    ``fit_mixture_multi_init`` which restarts over several splits and keeps
+    the best log-likelihood (match prevalence is unknown a priori)."""
+    xs = np.array([h[0] for h in hist], dtype=np.float64)
+    ws = np.array([h[1] for h in hist], dtype=np.float64)
+    total = ws.sum()
+    if total == 0:
+        raise ValueError("empty histogram")
+    order = np.argsort(xs)
+    xs, ws = xs[order], ws[order]
+    cum = np.cumsum(ws) / total
+    split_idx = int(np.searchsorted(cum, init_split))
+    split_idx = min(max(split_idx, 1), len(xs) - 1)
+
+    def _wstats(mask):
+        w = ws * mask
+        sw = max(w.sum(), 1e-9)
+        mu = float((w * xs).sum() / sw)
+        var = float((w * (xs - mu) ** 2).sum() / sw)
+        return mu, math.sqrt(max(var, 1e-8))
+
+    lowmask = np.zeros_like(ws); lowmask[:split_idx] = 1.0
+    highmask = 1.0 - lowmask
+    mu0, sd0 = _wstats(lowmask)
+    mu1, sd1 = _wstats(highmask)
+    pi1 = float((ws * highmask).sum() / total)
+    pi1 = min(max(pi1, 1e-6), 1 - 1e-6)
+
+    def _logpdf(mu, sd):
+        return -0.5 * math.log(2 * math.pi) - np.log(sd) - (xs - mu) ** 2 / (2 * sd * sd)
+
+    prev_ll = -np.inf
+    for _ in range(max_iter):
+        l1 = math.log(pi1) + _logpdf(mu1, sd1)
+        l0 = math.log(1 - pi1) + _logpdf(mu0, sd0)
+        m = np.maximum(l1, l0)
+        p1 = np.exp(l1 - m)
+        p0 = np.exp(l0 - m)
+        r1 = p1 / (p1 + p0)
+        ll = float((ws * (m + np.log(p1 + p0))).sum())
+        w1 = ws * r1
+        w0 = ws * (1 - r1)
+        s1, s0 = max(w1.sum(), 1e-9), max(w0.sum(), 1e-9)
+        mu1 = float((w1 * xs).sum() / s1)
+        mu0 = float((w0 * xs).sum() / s0)
+        sd1 = math.sqrt(max(float((w1 * (xs - mu1) ** 2).sum() / s1), 1e-8))
+        sd0 = math.sqrt(max(float((w0 * (xs - mu0) ** 2).sum() / s0), 1e-8))
+        pi1 = min(max(float(s1 / total), 1e-6), 1 - 1e-6)
+        if abs(ll - prev_ll) < tol * (abs(prev_ll) + 1.0):
+            break
+        prev_ll = ll
+    if mu1 < mu0:  # ensure component 1 is the high-score (match) component
+        mu0, mu1, sd0, sd1, pi1 = mu1, mu0, sd1, sd0, 1 - pi1
+    return MixtureModel(pi1=pi1, mu0=mu0, sd0=sd0, mu1=mu1, sd1=sd1)
+
+
+def _hist_loglik(model: MixtureModel, hist: list[tuple[float, int]]) -> float:
+    xs = np.array([h[0] for h in hist], dtype=np.float64)
+    ws = np.array([h[1] for h in hist], dtype=np.float64)
+
+    def _logpdf(mu, sd):
+        return -0.5 * math.log(2 * math.pi) - math.log(sd) - (xs - mu) ** 2 / (2 * sd * sd)
+
+    l1 = math.log(model.pi1) + _logpdf(model.mu1, model.sd1)
+    l0 = math.log(1 - model.pi1) + _logpdf(model.mu0, model.sd0)
+    m = np.maximum(l1, l0)
+    return float((ws * (m + np.log(np.exp(l1 - m) + np.exp(l0 - m)))).sum())
+
+
+def fit_mixture_multi_init(
+    hist: list[tuple[float, int]],
+    splits: tuple[float, ...] = (0.5, 0.9, 0.99, 0.999),
+) -> MixtureModel:
+    """EM with restarts: match prevalence is unknown (could be 50% or
+    0.01%), so try several initial mass splits and keep the highest
+    log-likelihood fit. The histogram lives on the driver — restarts are
+    O(bins) each, no extra Spark jobs."""
+    best, best_ll = None, -np.inf
+    for s in splits:
+        try:
+            model = fit_mixture_em(hist, init_split=s)
+        except ValueError:
+            continue
+        ll = _hist_loglik(model, hist)
+        if ll > best_ll:
+            best, best_ll = model, ll
+    if best is None:
+        raise ValueError("mixture fit failed for all initializations")
+    return best
+
+
+def fit_mixture_on_pairs(pairs: DataFrame, feature: str = "sim",
+                         bins: int = 2000) -> MixtureModel:
+    hist = score_histogram(pairs, feature=feature, bins=bins)
+    model = fit_mixture_multi_init(hist)
+    model.feature = feature
+    return model
+
+
+# ---------------------------------------------------------------------------
+# shared scoring entry
+# ---------------------------------------------------------------------------
+
+
+def with_match_probability(pairs: DataFrame, model) -> DataFrame:
+    """M3 + exact-match override: score all pairs, then force
+    probability 1.0 where A == B (reference R/fuzzylink.R:390-391, the
+    exact-match short-circuit P7)."""
+    p = model.score_col() if isinstance(model, LogitModel) else model.posterior_col()
+    return pairs.withColumn(
+        "match_probability",
+        F.when(F.lower(F.col("A")) == F.lower(F.col("B")), F.lit(1.0)).otherwise(p),
+    )

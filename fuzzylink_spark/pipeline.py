@@ -1,0 +1,220 @@
+"""The fuzzylink pipeline: blocking → pairs → features → score → cutoff →
+linked output (reference ``fuzzylink()``, R/fuzzylink.R:32-493).
+
+Seven stages, same order as the reference (SURVEY.md §3.1), each one a
+checkpointable DataFrame job:
+
+  0 validate + NA-drop (P1)                     R/fuzzylink.R:48-70
+  1 blocking: distinct blocks + semi-join prune R/fuzzylink.R:75-90
+  2 embeddings over distinct keys A∪B           R/fuzzylink.R:93-105
+  3 candidate pairs + sim/jw features           R/fuzzylink.R:113-190
+  4 labels: exact short-circuit (+ optional oracle seed)  :193-224
+  5 model fit + score all pairs                 :233-263, 384-391
+  6 expected-F1 cutoff + accept filter          :344-371, 471-474
+  7 assemble: join attributes back              :461-491
+
+Differences from the reference, by design (north rule):
+- the similarity matrices never exist — candidate pairs come from a salted
+  within-block join and features stream through Arrow batches;
+- the default calibrator is an EM two-component mixture on the blended
+  similarity score (offline; no external oracle needed); a labeled-data
+  logistic fit is available as ``learner='logit'``;
+- the cutoff search runs on a bounded probability histogram, not a global
+  sort;
+- every stage can persist + resume through CheckpointManager, and a
+  transitive-clustering step (``cluster_matches``) is available downstream.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, replace
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzylink_spark.config import LinkConfig
+from fuzzylink_spark.functions.vectors import embed_keys
+from fuzzylink_spark.operators.blocking import add_block_key, distinct_blocks, drop_incomplete, semi_join_blocks
+from fuzzylink_spark.operators.candidates import candidate_pairs, find_hot_blocks, pair_stats, unique_keys_per_block
+from fuzzylink_spark.operators.cutoff import accepted_matches, expected_f1_cutoff
+from fuzzylink_spark.operators.features import attach_embeddings, score_pairs
+from fuzzylink_spark.operators.labeling import merge_labels
+from fuzzylink_spark.operators.sampling import top_k_per_group, uniform_sample_n
+from fuzzylink_spark.operators.scoring import (
+    fit_logit,
+    fit_mixture_on_pairs,
+    with_match_probability,
+)
+from fuzzylink_spark.plans.checkpoint import CheckpointManager, fingerprint
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class LinkResult:
+    linked: DataFrame          # dfA left-joined with accepted matches (J6/J7)
+    pairs: DataFrame           # full scored pair table (the central IR)
+    cutoff: float
+    model: Any
+    metrics: dict
+
+
+def build_scored_pairs(
+    spark: SparkSession,
+    dfA: DataFrame,
+    dfB: DataFrame,
+    config: LinkConfig,
+    ckpt: CheckpointManager | None = None,
+    labeler=None,
+) -> DataFrame:
+    """Stages 0-4: from raw inputs to the labeled, feature-complete pair
+    table ``(A, B, block_key, sim, jw, match)``."""
+    by, blocking = config.by, config.blocking_keys
+    ckpt = ckpt or CheckpointManager(spark, config.work_dir, config.resume)
+    base_fp = fingerprint(config.by, config.blocking_keys, config.embedding_dim,
+                          config.encoder_ngrams, config.encoder_seed, config.seed)
+
+    # stage 0-1: NA-drop, block keys, semi-join prune (P1, P3, J1)
+    a = add_block_key(drop_incomplete(dfA, by, blocking), blocking)
+    blocks = distinct_blocks(dfA, blocking)
+    b = semi_join_blocks(drop_incomplete(dfB, by, blocking), blocks, blocking)
+    # reference errors when blocking leaves dfB empty (R/fuzzylink.R:81-86);
+    # limit(1) keeps the existence check O(first partition) at any scale
+    if blocking and b.limit(1).count() == 0:
+        raise ValueError(
+            "blocking removed every dfB row: no overlap between dfA and dfB "
+            f"on blocking keys {blocking}"
+        )
+
+    # stage 2: embeddings over distinct keys A∪B (P2 + S4')
+    uA = unique_keys_per_block(a, by)
+    uB = unique_keys_per_block(b, by)
+    keys = uA.select("key").union(uB.select("key")).distinct()
+    emb = embed_keys(keys, "key", dim=config.embedding_dim,
+                     ngrams=config.encoder_ngrams, seed=config.encoder_seed)
+    emb = ckpt.materialize("embeddings", fingerprint(base_fp, "emb"), emb)
+
+    # stage 3: candidate pairs (J2 w/ salting) + features
+    hot = find_hot_blocks(uA, uB, threshold=config.salt_threshold ** 2)
+    pairs = candidate_pairs(uA, uB, salt_buckets=config.salt_buckets,
+                            salted_blocks=hot)
+    pairs = pairs.dropDuplicates(["A", "B"])  # P4 (R/fuzzylink.R:189-190)
+    scored = score_pairs(attach_embeddings(pairs, emb), full_features=False)
+    scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
+                              repartition_cols=["block_key"])
+    if config.work_dir:
+        ckpt.write_metrics("block_stats", pair_stats(uA, uB))
+
+    # stage 4: labels — exact short-circuit always; oracle seed when given
+    scored = scored.withColumn(
+        "match",
+        F.when(F.lower(F.col("A")) == F.lower(F.col("B")), F.lit("Yes"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    if labeler is not None:
+        k = max(config.initial_train_n // max(uA.count(), 1), 1)
+        seed_pairs = top_k_per_group(scored, "A", "sim", k)
+        seed_pairs = uniform_sample_n(seed_pairs, config.initial_train_n, config.seed)
+        labels = labeler.label_pairs(seed_pairs)
+        scored = merge_labels(scored, labels)
+    return scored
+
+
+def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
+    """Stages 5-6a: fit the calibrator and score every pair (M1/M3/M4 + P7).
+
+    With an oracle and ``learner='logit'`` this runs the reference's
+    active-learning loop (M6) and recall search (M7); without one, the
+    offline EM mixture calibrates on the blended score.
+    """
+    from fuzzylink_spark.operators.active import active_learning_loop, recall_search_loop
+
+    blended = pairs.withColumn(
+        "score", (F.col("sim") + F.col("jw")) / F.lit(2.0)
+    )
+    if config.learner == "logit" and labeler is not None:
+        scored, model, _grads = active_learning_loop(blended, labeler, config)
+        cutoff = expected_f1_cutoff(scored, bins=config.cutoff_bins,
+                                    fallback=config.fallback_cutoff)
+        scored = recall_search_loop(scored, labeler, config, cutoff)
+        return scored, model
+    if config.learner == "logit":
+        model = fit_logit(blended, config.features)
+    else:
+        model = fit_mixture_on_pairs(
+            blended.where(F.lower(F.col("A")) != F.lower(F.col("B"))),
+            feature="score", bins=config.cutoff_bins,
+        )
+    return with_match_probability(blended, model), model
+
+
+def assemble(dfA: DataFrame, dfB: DataFrame, accepted: DataFrame,
+             config: LinkConfig) -> DataFrame:
+    """Stage 7 (J6/J7): keep ALL dfA rows (unmatched → NULL B side), attach
+    dfB attributes to matched B values, many-to-many
+    (R/fuzzylink.R:476-480)."""
+    by, blocking = config.by, config.blocking_keys
+    a = add_block_key(dfA, blocking)
+    b = add_block_key(dfB, blocking)
+
+    m = accepted.select(
+        F.col("A"), F.col("B"), F.col("block_key"),
+        "sim", "jw", "match", "match_probability",
+    )
+    res = a.join(
+        m,
+        (F.lower(a[by]) == F.lower(m["A"])) & (a["block_key"] == m["block_key"]),
+        "left",
+    ).drop(m["block_key"])
+
+    b_renamed = b
+    overlap = [c for c in b.columns if c in a.columns and c != "block_key"]
+    for c in overlap:
+        b_renamed = b_renamed.withColumnRenamed(c, f"{c}_B")
+    res = res.join(
+        b_renamed,
+        (F.lower(res["B"]) == F.lower(b_renamed[f"{by}_B" if by in overlap else by]))
+        & (res["block_key"] == b_renamed["block_key"]),
+        "left",
+    ).drop(b_renamed["block_key"])
+    return res
+
+
+def fuzzylink(
+    spark: SparkSession,
+    dfA: DataFrame,
+    dfB: DataFrame,
+    by: str,
+    blocking_keys: list[str] | None = None,
+    config: LinkConfig | None = None,
+    labeler=None,
+    exact_cutoff: bool = False,
+) -> LinkResult:
+    """End-to-end linkage. Returns the linked table (one row per dfA record,
+    possibly several on many-to-many matches) plus the scored pair table."""
+    config = replace(config or LinkConfig(), by=by,
+                     blocking_keys=list(blocking_keys or []))
+    ckpt = CheckpointManager(spark, config.work_dir, config.resume)
+
+    pairs = build_scored_pairs(spark, dfA, dfB, config, ckpt, labeler)
+    scored, model = fit_and_score(pairs, config, labeler)
+    scored = scored.persist()
+    try:
+        cutoff = expected_f1_cutoff(
+            scored, bins=config.cutoff_bins, exact=exact_cutoff,
+            fallback=config.fallback_cutoff,
+        )
+        accepted = accepted_matches(scored, cutoff)
+        linked = assemble(dfA, dfB, accepted, config)
+        metrics = {
+            "cutoff": cutoff,
+            "n_pairs": scored.count(),
+            "n_accepted": accepted.count(),
+        }
+    finally:
+        scored.unpersist()
+    ckpt.write_lineage()
+    return LinkResult(linked=linked, pairs=scored, cutoff=cutoff,
+                      model=model, metrics=metrics)

@@ -1,0 +1,41 @@
+"""Table input with schema validation (reference S1/S2).
+
+The reference takes in-memory data.frames and validates that the fuzzy key
+column exists (R/fuzzylink.R:48-53). Here inputs are parquet (or, on a real
+cluster, Iceberg) tables; ``read_table`` validates required columns before
+any plan is built, and ``read_repo_files`` asserts the north-rule input
+shape (repo, path, commit, lang, content).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO_FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def validate_columns(df: DataFrame, required: list[str], name: str = "input") -> DataFrame:
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{name} is missing required column(s) {missing}; has {df.columns}"
+        )
+    return df
+
+
+def read_table(spark: SparkSession, path: str, required: list[str] | None = None,
+               fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":
+        df = spark.read.format("iceberg").load(path)
+    else:
+        df = spark.read.parquet(path)
+    if required:
+        validate_columns(df, required, name=path)
+    return df
+
+
+def read_repo_files(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """North-rule input table; adds the per-row sha256 invariant column."""
+    df = read_table(spark, path, required=REPO_FILES_COLUMNS, fmt=fmt)
+    return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))

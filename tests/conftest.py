@@ -1,0 +1,13 @@
+from __future__ import annotations
+
+import pytest
+
+from fuzzylink_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("fuzzylink_spark_tests", master="local[4]",
+                  shuffle_partitions=8,
+                  extra_conf={"spark.driver.memory": "8g"})
+    yield s
