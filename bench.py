@@ -1,0 +1,136 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline figure for BASELINE purposes is candidate-pairs/sec through
+the full featurization path (blocking -> salted candidate join -> embedding
+join -> cosine GEMM + Jaro-Winkler in Arrow batches) — reported in the
+extra key ``pairs_per_sec``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fuzzylink_spark.config import LinkConfig  # noqa: E402
+from fuzzylink_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("fuzzylink_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb_table = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs.count()  # warm the scan / JVM
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q1: full candidate featurization (the pipeline hot path)
+    t0 = time.time()
+    from fuzzylink_spark.pipeline import build_scored_pairs
+
+    key = F.substring(F.col("text"), 1, 48).alias("name")
+    side = F.pmod(F.xxhash64("source"), F.lit(2))
+    dfa = docs.where(side == 0).select(key, "lang", "doc_id")
+    dfb = docs.where(side == 1).select(key, "lang", "doc_id")
+    cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128)
+    pairs = build_scored_pairs(spark, dfa, dfb, cfg).persist()
+    n_pairs = pairs.count()
+    timings["q1_candidate_featurize"] = time.time() - t0
+    extras["n_candidate_pairs"] = float(n_pairs)
+    extras["pairs_per_sec"] = n_pairs / timings["q1_candidate_featurize"]
+
+    # q2: EM calibration + cutoff + accept (driver loop + histogram program)
+    t0 = time.time()
+    from fuzzylink_spark.operators.cutoff import accepted_matches, expected_f1_cutoff
+    from fuzzylink_spark.pipeline import fit_and_score
+
+    scored, _ = fit_and_score(pairs, cfg)
+    cutoff = expected_f1_cutoff(scored, bins=cfg.cutoff_bins)
+    n_acc = accepted_matches(scored, cutoff).count()
+    timings["q2_calibrate_cutoff"] = time.time() - t0
+    extras["n_accepted"] = float(n_acc)
+    pairs.unpersist()
+
+    # q3: MinHash-LSH near-dup candidates over all documents
+    t0 = time.time()
+    from fuzzylink_spark.operators.dedup import lsh_candidate_pairs
+
+    n_lsh = lsh_candidate_pairs(docs, num_hashes=32, bands=16, shingle=5).count()
+    timings["q3_minhash_lsh"] = time.time() - t0
+    extras["n_lsh_pairs"] = float(n_lsh)
+
+    # q4: exact dedup
+    t0 = time.time()
+    from fuzzylink_spark.operators.dedup import exact_dedup
+
+    exact_dedup(docs).count()
+    timings["q4_exact_dedup"] = time.time() - t0
+
+    # q5: brute-force cosine top-10, 32 queries over the embeddings table
+    t0 = time.time()
+    from fuzzylink_spark.operators.similarity_search import brute_force_topk
+
+    queries_df = emb_table.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute_force_topk(emb_table, queries_df, k=10).count()
+    timings["q5_cosine_topk"] = time.time() - t0
+
+    # q6: connected components over the LSH candidate graph
+    t0 = time.time()
+    from fuzzylink_spark.operators.clustering import connected_components
+
+    edges = lsh_candidate_pairs(docs, num_hashes=16, bands=8, shingle=5).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    connected_components(edges).count()
+    timings["q6_connected_components"] = time.time() - t0
+
+    # q7: text analysis sweep (lang id + quality + tokens + fingerprint)
+    t0 = time.time()
+    from fuzzylink_spark.functions.text import (
+        lang_id,
+        quality_score,
+        rolling_fingerprint,
+        token_count,
+    )
+
+    docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        rolling_fingerprint("text").alias("fp"),
+    ).count()
+    timings["q7_text_analysis"] = time.time() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": int(cpus),
+        **{k: round(v, 3) for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

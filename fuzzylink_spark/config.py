@@ -37,8 +37,8 @@ class LinkConfig:
     # --- scale / physical plan knobs ---
     shuffle_partitions: int = 32
     block_pair_budget: int = 50_000_000   # max |uA|x|uB| pairs per block before salting warning
-    salt_buckets: int = 8                 # sub-splits for hot blocking keys
-    salt_threshold: int = 10_000          # per-block side-size above which we salt
+    salt_buckets: int = 8                 # fixed sub-splits (candidate_pairs path)
+    salt_pair_threshold: int = 50_000     # pair budget per GEMM cell (adaptive salting)
     broadcast_threshold_rows: int = 1_000_000
 
     # --- checkpointing / lineage ---

@@ -68,8 +68,8 @@ def bpe_ish_token_count(col: Column | str) -> Column:
             lambda n: n > F.lit(4),
         ),
         F.lit(0),
-        lambda acc, n: acc + (n - F.lit(1)) / F.lit(4),
-    ).cast("int")
+        lambda acc, n: acc + F.floor((n - F.lit(1)) / F.lit(4)).cast("int"),
+    )
     return (pieces + long_word_extra).cast("int")
 
 

@@ -78,7 +78,7 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Component assignment DataFrame[id, component] (component = min id).
 
@@ -93,8 +93,10 @@ def connected_components(
     )
     prev_sig = None
     for i in range(max_iter):
-        cur = _canon(_large_star(cur))
-        cur = _canon(_small_star(cur))
+        # one canon/distinct per round (both stars tolerate duplicate edges);
+        # eager localCheckpoint keeps the signature job reading cached blocks
+        # instead of recomputing the round chain
+        cur = _canon(_small_star(_large_star(cur)))
         if (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
         sig = _signature(cur)

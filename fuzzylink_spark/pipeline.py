@@ -96,12 +96,13 @@ def build_scored_pairs(
                      ngrams=config.encoder_ngrams, seed=config.encoder_seed)
     emb = ckpt.materialize("embeddings", fingerprint(base_fp, "emb"), emb)
 
-    # stage 3: candidate pairs (J2 w/ salting) + features
-    hot = find_hot_blocks(uA, uB, threshold=config.salt_threshold ** 2)
-    pairs = candidate_pairs(uA, uB, salt_buckets=config.salt_buckets,
-                            salted_blocks=hot)
-    pairs = pairs.dropDuplicates(["A", "B"])  # P4 (R/fuzzylink.R:189-190)
-    scored = score_pairs(attach_embeddings(pairs, emb), full_features=False)
+    # stage 3: candidate pairs + features in one cogrouped per-block GEMM
+    # pass (J2 + F2/F10); every block adaptively salted before any pair exists
+    from fuzzylink_spark.operators.features import cogrouped_pair_features
+
+    scored = cogrouped_pair_features(uA, uB, emb,
+                                     pair_budget=config.salt_pair_threshold)
+    scored = scored.dropDuplicates(["A", "B"])  # P4 (R/fuzzylink.R:189-190)
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
                               repartition_cols=["block_key"])
     if config.work_dir:

@@ -1,0 +1,184 @@
+"""Tests: dedup family, similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzylink_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from fuzzylink_spark.functions.vectors import embed_strings
+from fuzzylink_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from fuzzylink_spark.operators.multimodal import extract_features, frame_sample_plan, synth_media
+from fuzzylink_spark.operators.similarity_search import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                                   # exact dup of 0
+        (2, base.replace("quick", "quikc"), "en"),         # near dup of 0
+        (3, "completely different content about spark shuffles and joins", "en"),
+        (4, "el rapido zorro marron salta sobre el perro que es perezoso", "es"),
+        (5, base + " extra tail tokens here", "en"),       # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids
+    assert out.where("doc_id = 0").first()["n_dupes"] == 2
+    assert out.count() == 5
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cand = lsh_candidate_pairs(docs, num_hashes=32, bands=16, shingle=5)
+    pairs = {(r["a"], r["b"]) for r in cand.collect()}
+    assert (0, 1) in pairs          # exact dup always a candidate
+    assert (0, 2) in pairs or (0, 5) in pairs  # near dups recalled
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(spark, docs):
+    sig = minhash_signature(docs, num_hashes=16)
+    s = {r["doc_id"]: tuple(r["minhash"]) for r in sig.collect()}
+    assert s[0] == s[1]
+    assert s[0] != s[3]
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "a long, b long")
+    out = ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got
+    assert (0, 3) not in got
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in simhash_candidate_pairs(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    texts = ["alpha beta gamma", "alpha beta gamma", "alpha beta gamma delta",
+             "totally unrelated words here"]
+    mat = embed_strings(texts, dim=64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(texts))],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.9, planes=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(1)
+    corpus = rng.standard_normal((200, 16)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[:3]  # top-1 must be the vector itself
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in queries[i]]) for i in range(3)],
+        "query_id long, embedding array<float>",
+    )
+    out = brute_force_topk(cdf, qdf, k=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.where("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # scores match numpy exactly per query
+    want = (queries @ corpus.T)
+    got = out.where("query_id = 0").orderBy("rank").collect()
+    np_top5 = sorted(np.argsort(-want[0])[:5])
+    assert sorted(r["vec_id"] for r in got) == [int(x) for x in np_top5]
+
+
+def test_lsh_topk_self_hit(spark):
+    rng = np.random.default_rng(2)
+    corpus = rng.standard_normal((300, 16)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(5)],
+        "query_id long, embedding array<float>",
+    )
+    out = lsh_bucketed_topk(cdf, qdf, k=3, planes=6)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.where("rank = 1").collect()}
+    assert top1 == {i: i for i in range(5)}  # same bucket as self, cosine 1
+
+
+# --- text analysis -----------------------------------------------------------
+
+def test_text_analysis_columns(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        rolling_fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_tok"] == 14
+    assert by_id[0]["n_bpe"] >= by_id[0]["n_tok"]
+    assert by_id[0]["lang_pred"] == "en"
+    assert by_id[4]["lang_pred"] == "es"
+    assert 0.0 <= by_id[0]["q"] <= 1.0
+    assert by_id[0]["fp"] == by_id[1]["fp"]          # identical docs
+    assert by_id[0]["fp"] != by_id[3]["fp"]
+
+
+# --- multimodal --------------------------------------------------------------
+
+def test_multimodal_fake_features(spark):
+    media = synth_media(spark, n=12)
+    feats = extract_features(media, dim=32, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 32 for r in rows)
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=32, fake=True).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+
+
+def test_multimodal_real_decode_raises(spark):
+    media = synth_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, dim=8, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=500)
+    vids = media.where("kind = 'video'").count()
+    assert plan.select("media_id").distinct().count() == vids
+    one = plan.groupBy("media_id").count().first()
+    assert one["count"] >= 2
