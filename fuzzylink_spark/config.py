@@ -38,7 +38,7 @@ class LinkConfig:
     shuffle_partitions: int = 32
     block_pair_budget: int = 50_000_000   # max |uA|x|uB| pairs per block before salting warning
     salt_buckets: int = 8                 # fixed sub-splits (candidate_pairs path)
-    salt_pair_threshold: int = 50_000     # pair budget per GEMM cell (adaptive salting)
+    salt_pair_threshold: int = 250_000    # pair budget per GEMM cell (adaptive 2-D tiling)
     broadcast_threshold_rows: int = 1_000_000
 
     # --- checkpointing / lineage ---

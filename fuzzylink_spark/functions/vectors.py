@@ -35,13 +35,21 @@ def l2_normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def _char_ngrams(s: str, ns: tuple[int, ...]) -> Iterator[str]:
-    padded = f"\x01{s}\x02"  # boundary markers so prefixes/suffixes count
-    for n in ns:
-        if len(padded) < n:
-            continue
-        for i in range(len(padded) - n + 1):
-            yield padded[i : i + n]
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
+_POLY_B = np.uint64(1099511628211)  # FNV prime as the rolling base
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanche the rolling polynomial hash."""
+    h = h + _MIX1
+    h ^= h >> np.uint64(30)
+    h *= _MIX2
+    h ^= h >> np.uint64(27)
+    h *= _MIX3
+    h ^= h >> np.uint64(31)
+    return h
 
 
 def embed_strings(
@@ -52,17 +60,42 @@ def embed_strings(
 ) -> np.ndarray:
     """Deterministic hashed-n-gram embedding; rows are L2-normalized so that
     dot product == cosine similarity (the contract the reference's GEMM
-    relies on, R/get_similarity_matrix.R:34-42)."""
-    out = np.zeros((len(strings), dim), dtype=np.float32)
-    for r, s in enumerate(strings):
-        if not s:
+    relies on, R/get_similarity_matrix.R:34-42).
+
+    Fully vectorized: the batch becomes one padded byte matrix; each n-gram
+    size is a rolling polynomial hash (a handful of uint64 ops over the
+    whole matrix) finalized with splitmix64, then a scatter-add of ±1 signs
+    into the hash buckets. ~2 orders of magnitude faster than per-n-gram
+    Python hashing — fast enough to run inside every GEMM tile.
+    """
+    n = len(strings)
+    out = np.zeros((n, dim), dtype=np.float32)
+    if n == 0:
+        return out
+    enc = [b"\x01" + s.lower().encode("utf-8") + b"\x02" if s else b""
+           for s in strings]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return out
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    for i, e in enumerate(enc):
+        if e:
+            mat[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    rows = np.arange(n)
+    sseed = np.uint64(seed)
+    for g in ngrams:
+        width = maxlen - g + 1
+        if width <= 0:
             continue
-        s = s.lower()
-        for g in _char_ngrams(s, ngrams):
-            h = zlib.crc32(g.encode("utf-8"), seed)
-            bucket = (h >> 1) % dim
-            sign = 1.0 if (h & 1) else -1.0
-            out[r, bucket] += sign
+        h = np.full((n, width), sseed, dtype=np.uint64)
+        for j in range(g):
+            h = h * _POLY_B + mat[:, j : j + width]
+        h = _mix64(h)
+        valid = (np.arange(width)[None, :] < (lens - g + 1)[:, None])
+        bucket = ((h >> np.uint64(1)) % np.uint64(dim)).astype(np.int64)
+        sign = ((h & np.uint64(1)).astype(np.float32) * 2.0 - 1.0) * valid
+        np.add.at(out, (np.repeat(rows, width), bucket.ravel()), sign.ravel())
     return l2_normalize(out)
 
 

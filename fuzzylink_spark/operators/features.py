@@ -63,108 +63,154 @@ def score_pairs(pairs_with_emb: DataFrame, full_features: bool = False) -> DataF
 # ---------------------------------------------------------------------------
 
 
-def _gemm_melt(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (block, salt) cell: GEMM over the two unique-key embedding sets,
-    melt to long pairs, JW per pair — everything in a single Arrow batch.
-    This IS the reference's per-block dense matrix + melt
-    (R/fuzzylink.R:113-172) without ever shuffling per-pair vectors."""
-    if len(a_pdf) == 0 or len(b_pdf) == 0:
+_EMPTY_MELT = pd.DataFrame(
+    {"block_key": pd.Series([], dtype="str"), "A": pd.Series([], dtype="str"),
+     "B": pd.Series([], dtype="str"), "sim": pd.Series([], dtype="float64"),
+     "jw": pd.Series([], dtype="float64")}
+)
+
+
+def _gemm_melt_factory(encoder=None):
+    """Build the per-cell kernel. With ``encoder`` (list[str] -> unit-norm
+    np.ndarray), cells carry only key strings and embeddings are computed
+    in place — the shuffle never moves a vector. Without it, cells carry
+    an ``embedding`` column (external/pretrained embeddings path)."""
+
+    def _gemm_melt(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        """One (block, sa, sb) tile: GEMM over the two unique-key embedding
+        sets, melt to long pairs, batched JW — one Arrow batch end to end.
+        This IS the reference's per-block dense matrix + melt
+        (R/fuzzylink.R:113-172) without ever shuffling per-pair vectors."""
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return _EMPTY_MELT
+        a_keys = a_pdf["key"].tolist()
+        b_keys = b_pdf["key"].tolist()
+        if encoder is not None:
+            A = encoder(a_keys)
+            B = encoder(b_keys)
+        else:
+            A = np.asarray(a_pdf["embedding"].tolist(), dtype=np.float32)
+            B = np.asarray(b_pdf["embedding"].tolist(), dtype=np.float32)
+        sims = (A @ B.T).astype(np.float64).ravel()
+        na, nb = len(a_pdf), len(b_pdf)
+        a_low = [k.lower() for k in a_keys]
+        b_low = [k.lower() for k in b_keys]
+        jw = jaro_winkler_cross(a_low, b_low).ravel()
         return pd.DataFrame(
-            {"block_key": [], "A": [], "B": [], "sim": [], "jw": []}
+            {
+                "block_key": np.repeat(key[0], na * nb),
+                "A": np.repeat(a_keys, nb),
+                "B": np.tile(b_keys, na),
+                "sim": sims,
+                "jw": jw,
+            }
         )
-    A = np.asarray(a_pdf["embedding"].tolist(), dtype=np.float32)
-    B = np.asarray(b_pdf["embedding"].tolist(), dtype=np.float32)
-    sims = (A @ B.T).astype(np.float64).ravel()
-    na, nb = len(a_pdf), len(b_pdf)
-    a_keys = a_pdf["key"].tolist()
-    b_keys = b_pdf["key"].tolist()
-    a_low = [k.lower() for k in a_keys]
-    b_low = [k.lower() for k in b_keys]
-    jw = jaro_winkler_cross(a_low, b_low).ravel()
-    return pd.DataFrame(
-        {
-            "block_key": np.repeat(key[0], na * nb),
-            "A": np.repeat(a_keys, nb),
-            "B": np.tile(b_keys, na),
-            "sim": sims,
-            "jw": jw,
-        }
+
+    return _gemm_melt
+
+
+def _salted_side(u: DataFrame, emb: DataFrame | None, block_k: DataFrame,
+                 own: str, other: str) -> DataFrame:
+    """Attach 2-D tile coordinates (and, on the external-embedding path,
+    the vectors) to one distinct-key side.
+
+    ``block_k`` maps block_key -> (ka, kb): the within-block pair matrix is
+    tiled ka × kb (blocked-GEMM style). Each side hashes into its own
+    coordinate and replicates across the other's — so replication is
+    O(sqrt(cells)) per side instead of O(cells) on one side, which keeps
+    the shuffled volume near-minimal for any block size."""
+    side = u.join(emb, "key") if emb is not None else u
+    flagged = side.join(F.broadcast(block_k), "block_key", "left").na.fill(
+        {"ka": 1, "kb": 1}
     )
-
-
-def _salted_side(u: DataFrame, emb: DataFrame, block_k: DataFrame,
-                 replicate: bool) -> DataFrame:
-    """Attach embeddings + a salt column to one distinct-key side.
-
-    ``block_k`` maps block_key -> k (number of sub-cells). The A side is
-    split by hash(key) % k; the B side is replicated k ways, so every
-    (a, b) pair meets in exactly one (block, salt) cell."""
-    side = u.join(emb, "key")
-    flagged = side.join(F.broadcast(block_k), "block_key", "left").na.fill({"k": 1})
-    if replicate:
-        return (
-            flagged.withColumn(
-                "_salt_raw", F.explode(F.sequence(F.lit(0), F.col("k") - 1))
-            )
-            .withColumn("salt", F.col("_salt_raw").cast("int"))
-            .drop("k", "_salt_raw")
-        )
-    salt = F.pmod(F.xxhash64(F.col("key")), F.col("k"))
-    return flagged.withColumn("salt", salt.cast("int")).drop("k")
+    own_salt = F.pmod(F.xxhash64(F.col("key")), F.col(own)).cast("int")
+    return (
+        flagged.withColumn("_own", own_salt)
+        .withColumn("_other_raw", F.explode(F.sequence(F.lit(0), F.col(other) - 1)))
+        .withColumn("_other", F.col("_other_raw").cast("int"))
+        .drop("ka", "kb", "_other_raw")
+    )
 
 
 def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
                     max_salt: int = 4096) -> DataFrame:
-    """Adaptive salting plan: per block, k = ceil(|uA|x|uB| / pair_budget),
-    clamped. Bounds every GEMM cell's pair count (task skew AND peak
-    memory) no matter how skewed the blocking key distribution is —
-    lang='en' at web scale becomes thousands of uniform cells."""
+    """Adaptive 2-D tiling plan: per block, split the |uA| x |uB| pair
+    matrix into ~(|uA|x|uB|/pair_budget) cells arranged as a ka x kb grid
+    with roughly square tiles. Bounds every GEMM cell's pair count (task
+    skew AND peak memory) for any blocking-key skew — lang='en' at web
+    scale becomes thousands of uniform tiles."""
     ca = uA.groupBy("block_key").agg(F.count("*").alias("n_a"))
     cb = uB.groupBy("block_key").agg(F.count("*").alias("n_b"))
-    return (
-        ca.join(cb, "block_key")
-        .select(
-            "block_key",
-            F.least(
-                F.greatest(
-                    F.ceil(F.col("n_a") * F.col("n_b") / F.lit(pair_budget)),
-                    F.lit(1),
-                ),
-                F.lit(max_salt),
-            ).cast("int").alias("k"),
-        )
+    cells = F.least(
+        F.greatest(
+            F.ceil(F.col("n_a") * F.col("n_b") / F.lit(pair_budget)), F.lit(1)
+        ),
+        F.lit(max_salt),
+    )
+    # square-ish grid: ka/kb proportional to side sizes, ka*kb >= cells
+    ka = F.least(
+        F.greatest(F.ceil(F.sqrt(cells * F.col("n_a") / F.greatest(F.col("n_b"), F.lit(1)))), F.lit(1)),
+        F.greatest(F.col("n_a"), F.lit(1)),
+    )
+    kb = F.greatest(F.ceil(cells / ka), F.lit(1))
+    return ca.join(cb, "block_key").select(
+        "block_key", ka.cast("int").alias("ka"), kb.cast("int").alias("kb")
     )
 
 
 def cogrouped_pair_features(
     uA: DataFrame,
     uB: DataFrame,
-    emb: DataFrame,
-    pair_budget: int = 50_000,
+    emb: DataFrame | None = None,
+    encoder=None,
+    pair_budget: int = 250_000,
     max_salt: int = 4096,
 ) -> DataFrame:
     """Candidate generation + cosine + JW in ONE cogrouped Arrow pass.
 
-    Inputs are distinct (block_key, key) sides and the distinct-key
-    embedding table. Shuffle volume is |unique keys| × dim per side (the
-    embeddings; B-side keys replicate k times for split blocks), never
-    |pairs| × dim: pairs and their features are *born* inside the
-    per-(block, salt) GEMM cell. Every block is adaptively split so no
-    cell exceeds ``pair_budget`` pairs — uniform tasks, bounded memory.
+    Inputs are distinct (block_key, key) sides, plus either ``encoder``
+    (deterministic local encoder: keys are embedded inside each tile, so
+    the shuffle moves only strings) or ``emb`` (external embedding table,
+    joined on and shuffled with the sides). Pairs and their features are
+    *born* inside the per-(block, sa, sb) GEMM tile — shuffle volume never
+    includes a per-pair vector. Every block is adaptively 2-D tiled so no
+    tile exceeds ``pair_budget`` pairs: uniform tasks, bounded memory.
     """
-    # fresh projections (new expr ids) so the shared emb plan doesn't
-    # trigger ambiguous-self-join resolution across the two cogroup sides
-    def _fresh(df: DataFrame) -> DataFrame:
+    if emb is None and encoder is None:
+        raise ValueError("need an encoder or an embedding table")
+
+    # fresh projections (new expr ids) so shared plans don't trigger
+    # ambiguous-self-join resolution across the two cogroup sides
+    def _fresh(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
         return df.select(*[F.col(c).alias(c) for c in df.columns])
 
-    block_k = block_salt_plan(uA, uB, pair_budget, max_salt)
-    a = _salted_side(_fresh(uA), _fresh(emb), _fresh(block_k), replicate=False)
-    b = _salted_side(_fresh(uB), _fresh(emb), _fresh(block_k), replicate=True)
+    emb_used = None if encoder is not None else emb
+    block_k = block_salt_plan(uA, uB, pair_budget, max_salt).persist()
+    # Partition count must track TILES, not bytes: the cogroup input is a
+    # few MB of strings but each tile is seconds of kernel compute, so
+    # AQE's size-based coalescing would collapse it to one partition (a
+    # measured 30x slowdown). An explicit repartition-by-num on the tile
+    # key pins the layout — AQE leaves user-specified counts alone.
+    row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
+    total_cells = int(row["c"] or 1)
+    sc = uA.sparkSession.sparkContext
+    n_part = int(min(max(sc.defaultParallelism * 2, total_cells // 2 + 1), 65536))
+
+    # A side: own coordinate = row tile (ka), replicate across column tiles
+    a = _salted_side(_fresh(uA), _fresh(emb_used), _fresh(block_k), own="ka", other="kb")
+    a = a.withColumnRenamed("_own", "sa").withColumnRenamed("_other", "sb")
+    a = a.repartition(n_part, "block_key", "sa", "sb")
+    # B side: own coordinate = column tile (kb), replicate across row tiles
+    b = _salted_side(_fresh(uB), _fresh(emb_used), _fresh(block_k), own="kb", other="ka")
+    b = b.withColumnRenamed("_own", "sb").withColumnRenamed("_other", "sa")
+    b = b.repartition(n_part, "block_key", "sa", "sb")
     return (
-        a.groupby("block_key", "salt")
-        .cogroup(b.groupby("block_key", "salt"))
+        a.groupby("block_key", "sa", "sb")
+        .cogroup(b.groupby("block_key", "sa", "sb"))
         .applyInPandas(
-            _gemm_melt,
+            _gemm_melt_factory(encoder),
             schema="block_key string, A string, B string, sim double, jw double",
         )
     )

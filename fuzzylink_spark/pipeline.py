@@ -88,21 +88,47 @@ def build_scored_pairs(
             f"on blocking keys {blocking}"
         )
 
-    # stage 2: embeddings over distinct keys A∪B (P2 + S4')
+    # stage 2: distinct keys per side (P2); the deterministic encoder (S4')
+    # runs inline inside each GEMM tile, so the embedding *table* is only
+    # materialized as a checkpoint/lineage artifact when persistence is on
     uA = unique_keys_per_block(a, by)
     uB = unique_keys_per_block(b, by)
-    keys = uA.select("key").union(uB.select("key")).distinct()
-    emb = embed_keys(keys, "key", dim=config.embedding_dim,
-                     ngrams=config.encoder_ngrams, seed=config.encoder_seed)
-    emb = ckpt.materialize("embeddings", fingerprint(base_fp, "emb"), emb)
+    if config.work_dir:
+        keys = uA.select("key").union(uB.select("key")).distinct()
+        emb_table = embed_keys(keys, "key", dim=config.embedding_dim,
+                               ngrams=config.encoder_ngrams,
+                               seed=config.encoder_seed)
+        ckpt.materialize("embeddings", fingerprint(base_fp, "emb"), emb_table)
 
     # stage 3: candidate pairs + features in one cogrouped per-block GEMM
-    # pass (J2 + F2/F10); every block adaptively salted before any pair exists
+    # pass (J2 + F2/F10); every block adaptively 2-D tiled before any pair
+    # exists; embeddings computed in-tile from keys (shuffle moves strings,
+    # never vectors)
+    from fuzzylink_spark.functions.vectors import embed_strings
     from fuzzylink_spark.operators.features import cogrouped_pair_features
 
-    scored = cogrouped_pair_features(uA, uB, emb,
+    dim, ngrams, eseed = (config.embedding_dim, config.encoder_ngrams,
+                          config.encoder_seed)
+
+    def encoder(keys_batch: list[str]):
+        return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
+
+    scored = cogrouped_pair_features(uA, uB, encoder=encoder,
                                      pair_budget=config.salt_pair_threshold)
-    scored = scored.dropDuplicates(["A", "B"])  # P4 (R/fuzzylink.R:189-190)
+    # P4 pairwise distinct (R/fuzzylink.R:189-190): a (A,B) pair can repeat
+    # only when some key occurs under >1 block key — check that cheaply on
+    # the distinct-key sides and skip the 24M-row dedup shuffle when it
+    # cannot happen (the common case for well-formed blocking)
+    multi_block_keys = (
+        uA.select("block_key", "key").union(uB.select("block_key", "key"))
+        .groupBy("key")
+        .agg(F.countDistinct("block_key").alias("nb"))
+        .where(F.col("nb") > 1)
+        .limit(1)
+        .count()
+    )
+    if multi_block_keys > 0:
+        scored = scored.dropDuplicates(["A", "B"])
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
                               repartition_cols=["block_key"])
     if config.work_dir:
