@@ -31,27 +31,44 @@ from pyspark.sql import functions as F
 
 def _f1_frame(df: DataFrame, p_col: str, w_col: str | None,
               label_col: str | None) -> DataFrame:
-    """Shared running-sum program over rows carrying (p, weight, label)."""
+    """Shared running-sum program over rows carrying (p, weight, label).
+
+    Label semantics (deliberate improvement over the reference's algebra at
+    R/fuzzylink.R:345-364, which lets labels and expectations partially
+    cancel): consistent with the final filter P9, labeled-Yes pairs are
+    accepted at EVERY cutoff, so they count toward tp unconditionally and
+    never toward fn. A labeled-No row above the cutoff counts as one FULL
+    false positive: it is ground truth that the model's probability mass in
+    that region is wrong, which calibrates the expected FP of the unlabeled
+    rows around it (the reference instead credits such rows with -p fp and
+    +p tp, which lets confidently-wrong regions pull the cutoff down).
+    Unlabeled rows contribute expectations on their side of the cutoff.
+    eqNullSafe everywhere: (NULL == 'Yes') is NULL under three-valued
+    logic and a NULL term voids the whole sum contribution.
+    """
     w = F.col(w_col) if w_col else F.lit(1.0)
     p = F.col(p_col)
     if label_col:
-        is_yes = (F.col(label_col) == "Yes").cast("double") * w
-        is_no = (F.col(label_col) == "No").cast("double") * w
+        is_yes = F.col(label_col).eqNullSafe("Yes").cast("double") * w
+        is_no = F.col(label_col).eqNullSafe("No").cast("double") * w
         unl = F.col(label_col).isNull().cast("double") * w
-        tp_c = unl * p + is_yes          # contribution if kept
-        fp_c = unl * (1 - p) + is_no
-        fn_c = unl * p + is_yes          # contribution if dropped
     else:
-        tp_c = w * p
-        fp_c = w * (1 - p)
-        fn_c = w * p
+        is_yes = F.lit(0.0)
+        is_no = F.lit(0.0)
+        unl = w
+    tp_c = unl * p
+    fp_c = unl * (1 - p) + is_no
+    fn_c = unl * p
 
     asc = Window.orderBy(F.col(p_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
     desc = Window.orderBy(F.col(p_col).desc()).rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.orderBy(F.col(p_col)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
 
     out = (
         df.withColumn("fn", F.coalesce(F.sum(fn_c).over(asc), F.lit(0.0)))
-        .withColumn("tp", F.sum(tp_c).over(desc))
+        .withColumn("tp", F.sum(tp_c).over(desc) + F.sum(is_yes).over(full))
         .withColumn("fp", F.sum(fp_c).over(desc))
     )
     precision = F.col("tp") / (F.col("tp") + F.col("fp"))
@@ -82,21 +99,25 @@ def expected_f1_cutoff(
 
     if exact:
         frame = _f1_frame(df, p_col, None, label)
+        half_bucket = 0.0
     else:
         b = F.round(F.col(p_col) * bins) / bins
         grouped = df.withColumn("_pb", b).groupBy(
             "_pb", *( [label] if label else [] )
         ).agg(F.count("*").cast("double").alias("_w"))
         frame = _f1_frame(grouped.withColumnRenamed("_pb", p_col), p_col, "_w", label)
+        half_bucket = 0.5 / bins  # keep the selected bucket accepted under p > cutoff
 
+    # tie-break on HIGHEST p, matching the reference's which.max over the
+    # desc-sorted frame (R/fuzzylink.R:368-370) — precision-favoring
     best = (
-        frame.orderBy(F.col("expected_f1").desc(), F.col(p_col).asc())
+        frame.orderBy(F.col("expected_f1").desc(), F.col(p_col).desc())
         .select(p_col, "expected_f1")
         .first()
     )
     if best is None or best["expected_f1"] <= 0.0:
         return fallback  # NaN-F1 guard (R/fuzzylink.R:366-370)
-    return float(best[p_col])
+    return float(best[p_col]) - half_bucket
 
 
 def accepted_matches(pairs: DataFrame, cutoff: float,

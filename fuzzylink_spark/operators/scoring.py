@@ -231,6 +231,185 @@ def fit_mixture_on_pairs(pairs: DataFrame, feature: str = "sim",
 
 
 # ---------------------------------------------------------------------------
+# 2-D EM mixture (Fellegi-Sunter flavored): two diagonal Gaussians on
+# (sim, jw) — far more discriminative than any 1-D blend because match and
+# non-match clouds separate along a diagonal in feature space.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Mixture2D:
+    """K-component diagonal-Gaussian mixture on two features; the top
+    component (largest mu_x+mu_y) is the match class. K=3 by default:
+    random non-matches, near-miss non-matches, matches — two components
+    systematically swallow the near-miss cloud into the match class."""
+
+    pis: list[float]
+    mus: list[tuple[float, float]]          # per component
+    sds: list[tuple[float, float]]
+    features: tuple[str, str] = ("sim", "jw")
+
+    @property
+    def top(self) -> int:
+        return max(range(len(self.mus)), key=lambda k: sum(self.mus[k]))
+
+    def posterior_col(self):
+        x = F.col(self.features[0])
+        y = F.col(self.features[1])
+
+        def _logpdf(v, mu, sd):
+            return (
+                F.lit(-0.5 * math.log(2 * math.pi) - math.log(sd))
+                - (v - F.lit(mu)) ** 2 / F.lit(2 * sd * sd)
+            )
+
+        ls = [
+            F.lit(math.log(max(pi, 1e-12)))
+            + _logpdf(x, mu[0], sd[0])
+            + _logpdf(y, mu[1], sd[1])
+            for pi, mu, sd in zip(self.pis, self.mus, self.sds)
+        ]
+        m = ls[0]
+        for l in ls[1:]:
+            m = F.greatest(m, l)
+        denom = None
+        for l in ls:
+            e = F.exp(l - m)
+            denom = e if denom is None else denom + e
+        return F.exp(ls[self.top] - m) / denom
+
+
+@dataclass
+class ConstantModel:
+    """Degenerate calibrator for edge cases with no scorable pairs (e.g. a
+    single-record input): every non-exact pair gets probability ``value``;
+    the exact-match override in ``with_match_probability`` still applies."""
+
+    value: float = 0.0
+
+    def posterior_col(self):
+        return F.lit(self.value)
+
+
+def score_histogram_2d(pairs: DataFrame, fx: str = "sim", fy: str = "jw",
+                       bins: int = 200, lo: float = -1.0, hi: float = 1.0
+                       ) -> np.ndarray:
+    """Bounded 2-D histogram: ONE aggregation, <= bins^2 rows to the
+    driver. Returns array[(x, y, weight)]."""
+    width = (hi - lo) / bins
+
+    def bucket(col):
+        return F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
+        )
+
+    rows = (
+        pairs.select(bucket(fx).alias("bx"), bucket(fy).alias("by"))
+        .groupBy("bx", "by")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return np.array(
+        [(lo + (r["bx"] + 0.5) * width, lo + (r["by"] + 0.5) * width, r["n"])
+         for r in rows],
+        dtype=np.float64,
+    )
+
+
+def fit_mixture2d_em(
+    hist: np.ndarray,
+    k: int = 3,
+    max_iter: int = 300,
+    tol: float = 1e-9,
+    top_splits: tuple[float, ...] = (0.9, 0.97, 0.99, 0.997),
+    prevalence_hint: float | None = None,
+) -> Mixture2D:
+    """Weighted K-component EM on the 2-D histogram, restarted over several
+    top-component mass splits (match prevalence is unknown; a hint like
+    min(|uA|,|uB|)/n_pairs — "each left record has at most one true match"
+    — adds a Fellegi-Sunter-informed restart). Best log-likelihood wins.
+    All O(cells) on the driver."""
+    xs, ys, ws = hist[:, 0], hist[:, 1], hist[:, 2]
+    total = ws.sum()
+    if total == 0:
+        raise ValueError("empty histogram")
+    order = np.argsort(xs + ys)
+    cum = np.cumsum(ws[order]) / total
+
+    def _logpdf(v, mu, sd):
+        return -0.5 * math.log(2 * math.pi) - np.log(sd) - (v - mu) ** 2 / (2 * sd * sd)
+
+    def _fit(split: float):
+        # init slabs by (x+y) quantile: [..mid slabs..], top slab = matches
+        qs = list(np.linspace(0.0, split, k)) + [1.0]
+        idxs = []
+        for i in range(k):
+            a = int(np.searchsorted(cum, qs[i]))
+            b = int(np.searchsorted(cum, qs[i + 1])) if i < k - 1 else len(order)
+            b = max(b, a + 1)
+            idxs.append(order[a:min(b, len(order))])
+        mus, sds, pis = [], [], []
+        for idx in idxs:
+            w = ws[idx]
+            sw = max(w.sum(), 1e-9)
+            mu = (float((w * xs[idx]).sum() / sw), float((w * ys[idx]).sum() / sw))
+            sd = (math.sqrt(max(float((w * (xs[idx] - mu[0]) ** 2).sum() / sw), 1e-6)),
+                  math.sqrt(max(float((w * (ys[idx] - mu[1]) ** 2).sum() / sw), 1e-6)))
+            mus.append(mu); sds.append(sd); pis.append(max(sw / total, 1e-6))
+        prev = -np.inf
+        for _ in range(max_iter):
+            L = np.stack([
+                math.log(max(pis[j], 1e-12))
+                + _logpdf(xs, mus[j][0], sds[j][0])
+                + _logpdf(ys, mus[j][1], sds[j][1])
+                for j in range(k)
+            ])
+            m = L.max(axis=0)
+            P = np.exp(L - m)
+            denom = P.sum(axis=0)
+            P /= denom
+            ll = float((ws * (m + np.log(denom))).sum())
+            for j in range(k):
+                w = ws * P[j]
+                sw = max(w.sum(), 1e-9)
+                mus[j] = (float((w * xs).sum() / sw), float((w * ys).sum() / sw))
+                sds[j] = (
+                    math.sqrt(max(float((w * (xs - mus[j][0]) ** 2).sum() / sw), 1e-6)),
+                    math.sqrt(max(float((w * (ys - mus[j][1]) ** 2).sum() / sw), 1e-6)),
+                )
+                pis[j] = min(max(float(sw / total), 1e-6), 1 - 1e-6)
+            if abs(ll - prev) < tol * (abs(prev) + 1.0):
+                break
+            prev = ll
+        return Mixture2D(pis=pis, mus=mus, sds=sds), ll
+
+    splits = list(top_splits)
+    if prevalence_hint is not None and 0 < prevalence_hint < 0.5:
+        splits.append(1.0 - prevalence_hint)
+    best, best_ll = None, -np.inf
+    for s in splits:
+        try:
+            model, ll = _fit(s)
+        except Exception:
+            continue
+        if ll > best_ll:
+            best, best_ll = model, ll
+    if best is None:
+        raise ValueError("2-D mixture fit failed for all initializations")
+    return best
+
+
+def fit_mixture2d_on_pairs(pairs: DataFrame, fx: str = "sim", fy: str = "jw",
+                           bins: int = 200, k: int = 3,
+                           prevalence_hint: float | None = None) -> Mixture2D:
+    hist = score_histogram_2d(pairs, fx, fy, bins=bins)
+    model = fit_mixture2d_em(hist, k=k, prevalence_hint=prevalence_hint)
+    model.features = (fx, fy)
+    return model
+
+
+# ---------------------------------------------------------------------------
 # shared scoring entry
 # ---------------------------------------------------------------------------
 

@@ -169,11 +169,31 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
         return scored, model
     if config.learner == "logit":
         model = fit_logit(blended, config.features)
-    else:
+    elif config.learner == "em1d":
         model = fit_mixture_on_pairs(
             blended.where(F.lower(F.col("A")) != F.lower(F.col("B"))),
             feature="score", bins=config.cutoff_bins,
         )
+    else:  # 'em' -> K=3 2-D (sim, jw) mixture, the default offline calibrator
+        from fuzzylink_spark.operators.scoring import fit_mixture2d_on_pairs
+
+        nontrivial = blended.where(F.lower(F.col("A")) != F.lower(F.col("B")))
+        stats = nontrivial.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("A").alias("na"),
+            F.approx_count_distinct("B").alias("nb"),
+        ).first()
+        if stats["n"] == 0:
+            # nothing to calibrate on (e.g. single-record input): only the
+            # exact-match override can fire
+            from fuzzylink_spark.operators.scoring import ConstantModel
+
+            model = ConstantModel(0.0)
+        else:
+            # Fellegi-Sunter-informed prior: each left record has <= ~1 match
+            hint = min(stats["na"], stats["nb"]) / stats["n"]
+            model = fit_mixture2d_on_pairs(nontrivial, fx="sim", fy="jw",
+                                           prevalence_hint=hint)
     return with_match_probability(blended, model), model
 
 

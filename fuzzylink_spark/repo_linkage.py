@@ -1,0 +1,116 @@
+"""North-rule flagship: entity resolution over repo-file tables.
+
+Input shape (input_hint): ``(repo, path, commit, lang, content)``. The
+entity surface form is the file's basename stem; blocking is the language.
+Pipeline: derive keys -> fuzzylink scoring (blocking + tiled GEMM cosine +
+JW + EM calibration + expected-F1 cutoff) -> accepted key pairs -> expand
+to file ids -> transitive clustering via large-star/small-star connected
+components -> per-file cluster assignment, preserving sha2(content, 256)
+per row.
+
+Self-linkage semantics: dfA == dfB == the distinct (key, lang) set; the
+exact-match short-circuit (P7) makes identical stems trivially linked, the
+scorer decides near-miss stems (clone families renamed `_v2` etc.).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzylink_spark.config import LinkConfig
+from fuzzylink_spark.operators.clustering import connected_components
+from fuzzylink_spark.operators.cutoff import accepted_matches, expected_f1_cutoff
+from fuzzylink_spark.pipeline import build_scored_pairs, fit_and_score
+
+
+def file_key(path_col: str = "path", content_col: str = "content",
+             body_chars: int = 48) -> F.Column:
+    """Entity key: lowercased basename stem + a normalized body prefix.
+
+    The stem alone is ambiguous (unrelated files share names like
+    ``utils`` or ``index``); clone families share near-identical content,
+    so a body prefix disambiguates: clones keep jw/sim high, same-named
+    strangers diverge after the stem."""
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    stem = F.lower(F.regexp_replace(base, r"\.[^.]*$", ""))
+    body = F.lower(
+        F.substring(
+            F.regexp_replace(F.regexp_replace(F.col(content_col), r"//[^\n]*\n", " "),
+                             r"\s+", " "),
+            1, body_chars,
+        )
+    )
+    return F.concat_ws(" ", stem, F.trim(body))
+
+
+def link_repo_files(
+    spark: SparkSession,
+    files: DataFrame,
+    config: LinkConfig | None = None,
+    id_col: str = "file_id",
+) -> dict:
+    """Cluster repo files into entities. Returns dict with:
+    - ``assignment``: DataFrame[file_id, cluster, content_sha256]
+    - ``pairs``: the scored key-pair table
+    - ``cutoff``: chosen probability cutoff
+    """
+    config = replace(config or LinkConfig(), by="name", blocking_keys=["lang"])
+    keyed = files.withColumn("name", file_key()).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    sides = keyed.select("name", "lang").distinct()
+
+    pairs = build_scored_pairs(spark, sides, sides, config)
+    scored, model = fit_and_score(pairs, config)
+    scored = scored.persist()
+    # exclude trivial self-pairs from the cutoff search (they are accepted
+    # by construction and would skew the histogram)
+    nontrivial = scored.where(F.lower(F.col("A")) != F.lower(F.col("B")))
+    cutoff = expected_f1_cutoff(nontrivial, bins=config.cutoff_bins,
+                                fallback=config.fallback_cutoff)
+    accepted = accepted_matches(scored, cutoff)
+
+    # key pairs -> file-id edges: two joins against the (key -> id) map
+    idmap = keyed.select(
+        F.col(id_col).alias("fid"),
+        F.lower(F.col("name")).alias("lname"),
+        F.lower(F.col("lang")).alias("bk"),
+    )
+    acc = accepted.select(
+        F.lower(F.col("A")).alias("ka"), F.lower(F.col("B")).alias("kb"),
+        F.col("block_key").alias("bk"),
+    )
+    m1 = idmap.select(F.col("fid").alias("src"), F.col("lname").alias("ka"), "bk")
+    m2 = idmap.select(F.col("fid").alias("dst"), F.col("lname").alias("kb"), "bk")
+    edges_ab = (
+        acc.join(m1, ["ka", "bk"]).join(m2, ["kb", "bk"])
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+    )
+    # same-key same-block files are the same entity (exact key duplicates)
+    from pyspark.sql import Window
+    w = Window.partitionBy("lname", "bk").orderBy("fid")
+    edges_same = (
+        idmap.withColumn("root", F.first("fid").over(w))
+        .where(F.col("fid") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("fid").alias("dst"))
+    )
+    edges = edges_ab.unionByName(edges_same)
+
+    assign = connected_components(edges)
+    all_files = keyed.select(F.col(id_col).alias("id"), "content_sha256")
+    assignment = (
+        all_files.join(assign, "id", "left")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col("id")))
+        .select(F.col("id").alias(id_col), "cluster", "content_sha256")
+    )
+    result = {
+        "assignment": assignment,
+        "pairs": scored,
+        "cutoff": cutoff,
+        "model": model,
+    }
+    return result

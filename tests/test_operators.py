@@ -101,7 +101,8 @@ def test_cutoff_bimodal(spark):
     probs = [0.01] * 50 + [0.95] * 10
     df = _pair_df(spark, probs)
     cut = expected_f1_cutoff(df, exact=True)
-    assert 0.01 < cut <= 0.95
+    # strict p > cutoff acceptance: the boundary may sit ON the low mode
+    assert 0.01 <= cut <= 0.95
     kept = accepted_matches(df, cut)
     assert kept.count() == 10
 
