@@ -1,0 +1,123 @@
+"""Streaming operators: incremental linkage and streaming deduplication.
+
+The reference is batch-only (R/fuzzylink.R:32-493 — no watermarks, no
+event-time state), so these are engine extensions for the production
+surface: a repo-file firehose that must be deduplicated and linked against
+the existing entity table as it lands.
+
+Two patterns:
+- ``stream_exact_dedup``: watermark + dropDuplicatesWithinWatermark on the
+  content hash — streaming-native state, bounded by the watermark delay;
+- ``stream_link``: micro-batch incremental linkage via ``foreachBatch``.
+  Each micro-batch runs the SAME batch featurization (cogrouped GEMM +
+  JW) of the new records against the static reference side, scores with a
+  pre-fit calibrator (broadcast coefficients), and appends accepted
+  matches to the sink. foreachBatch is the right tool here: the per-batch
+  logic is a multi-stage join pipeline, not a streaming aggregation, and
+  reusing the batch operators keeps streaming/batch semantics identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzylink_spark.config import LinkConfig
+from fuzzylink_spark.operators.blocking import add_block_key, drop_incomplete
+from fuzzylink_spark.operators.candidates import unique_keys_per_block
+from fuzzylink_spark.operators.cutoff import accepted_matches
+from fuzzylink_spark.operators.features import cogrouped_pair_features
+from fuzzylink_spark.operators.scoring import with_match_probability
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    content_col: str = "content",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash within
+    the watermark horizon survives. State is bounded: hashes older than
+    the watermark are evicted (late duplicates beyond the delay pass
+    through — the horizon is the contract)."""
+    hashed = stream.withColumn("_h", F.sha2(F.col(content_col), 256))
+    return hashed.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        ["_h"]
+    ).drop("_h")
+
+
+def make_link_batch_fn(
+    static_side: DataFrame,
+    config: LinkConfig,
+    model,
+    cutoff: float,
+    sink_fn,
+):
+    """Build the foreachBatch callback: score a micro-batch of new records
+    against the static reference side and hand accepted matches to
+    ``sink_fn(batch_id, matches_df)``.
+
+    ``static_side`` must carry (key column named by config.by + blocking
+    columns); it is typically the deduplicated entity table, reused across
+    batches. The calibrator is pre-fit (batch pipeline or EM on history):
+    micro-batches are too small to refit per batch, and a fixed model keeps
+    streaming output deterministic and replayable.
+    """
+    a = add_block_key(
+        drop_incomplete(static_side, config.by, config.blocking_keys),
+        config.blocking_keys,
+    )
+    uA = unique_keys_per_block(a, config.by)
+
+    from fuzzylink_spark.functions.vectors import embed_strings
+
+    dim, ngrams, seed = (config.embedding_dim, config.encoder_ngrams,
+                         config.encoder_seed)
+
+    def encoder(keys):
+        return embed_strings(keys, dim=dim, ngrams=ngrams, seed=seed)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = add_block_key(
+            drop_incomplete(batch_df, config.by, config.blocking_keys),
+            config.blocking_keys,
+        )
+        uB = unique_keys_per_block(b, config.by)
+        pairs = cogrouped_pair_features(
+            uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold
+        )
+        scored = with_match_probability(
+            pairs.withColumn("score", (F.col("sim") + F.col("jw")) / 2.0), model
+        )
+        matches = accepted_matches(scored, cutoff, label_col="__none__")
+        sink_fn(batch_id, matches)
+
+    return process_batch
+
+
+def stream_link(
+    stream: DataFrame,
+    static_side: DataFrame,
+    config: LinkConfig,
+    model,
+    cutoff: float,
+    sink_fn,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Wire the incremental linkage onto a stream: returns the started
+    StreamingQuery. ``checkpoint_dir`` gives exactly-once micro-batch
+    replay (the engine re-runs an interrupted batch; sink_fn must be
+    idempotent on batch_id, e.g. overwrite-by-batch parquet)."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            make_link_batch_fn(static_side, config, model, cutoff, sink_fn)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

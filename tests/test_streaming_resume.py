@@ -1,0 +1,98 @@
+"""Streaming operators + checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzylink_spark.config import LinkConfig
+from fuzzylink_spark.operators.scoring import LogitModel
+from fuzzylink_spark.pipeline import build_scored_pairs
+from fuzzylink_spark.plans.checkpoint import CheckpointManager
+from fuzzylink_spark.sources.synth import presidents
+from fuzzylink_spark.streaming.incremental import stream_exact_dedup, stream_link
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows1 = [(1, "2024-01-01 00:00:00", "same content"),
+             (2, "2024-01-01 00:00:10", "same content"),
+             (3, "2024-01-01 00:00:20", "other content")]
+    spark.createDataFrame(rows1, "id long, ts string, content string") \
+        .withColumn("ts", F.to_timestamp("ts")).write.parquet(src, mode="append")
+    stream = spark.readStream.schema("id long, ts timestamp, content string").parquet(src)
+    dedup = stream_exact_dedup(stream, watermark_delay="1 hour")
+    q = (dedup.writeStream.format("memory").queryName("dedup_out")
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_out").collect()
+    contents = sorted(r["content"] for r in out)
+    assert contents == ["other content", "same content"]
+
+
+def test_stream_link_microbatch(spark, tmp_path):
+    dfa, dfb, _gold = presidents(spark)
+    src = str(tmp_path / "stream_a")
+    dfa.write.parquet(src)
+    stream = spark.readStream.schema(dfa.schema).parquet(src)
+
+    cfg = LinkConfig(by="name", blocking_keys=["state"])
+    # fixed calibrator: high sim+jw -> match (streaming uses a pre-fit model)
+    model = LogitModel(features=["sim", "jw"], coef=[-10.0, 6.0, 8.0])
+    collected = []
+
+    def sink(batch_id, matches):
+        collected.extend(
+            (r["A"], r["B"]) for r in matches.select("A", "B").collect()
+        )
+
+    q = stream_link(stream, dfb, cfg, model, cutoff=0.5, sink_fn=sink,
+                    checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = set(collected)
+    # convention: A = static reference side, B = streamed new records
+    assert ("Barack Hussein Obama", "Barack Obama") in got
+    # Trump blocked away (NY vs FL): no pair may involve him on either side
+    assert not any("Trump" in a or "Trump" in b for a, b in got)
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    dfa, dfb, _gold = presidents(spark)
+    cfg = LinkConfig(by="name", blocking_keys=["state"],
+                     work_dir=str(tmp_path / "work"))
+
+    ckpt1 = CheckpointManager(spark, cfg.work_dir, resume=True)
+    out1 = build_scored_pairs(spark, dfa, dfb, cfg, ckpt=ckpt1)
+    rows1 = sorted(map(tuple, out1.select("A", "B", "block_key").collect()))
+    assert all(not r["resumed"] for r in ckpt1.runs)
+
+    # second run resumes from the persisted stage outputs
+    ckpt2 = CheckpointManager(spark, cfg.work_dir, resume=True)
+    out2 = build_scored_pairs(spark, dfa, dfb, cfg, ckpt=ckpt2)
+    rows2 = sorted(map(tuple, out2.select("A", "B", "block_key").collect()))
+    assert rows1 == rows2
+    pair_runs = [r for r in ckpt2.runs if r["stage"] == "pairs"]
+    assert pair_runs and all(r["resumed"] for r in pair_runs)
+
+    # changed config -> different fingerprint -> recompute, not stale reuse
+    cfg3 = LinkConfig(by="name", blocking_keys=["state"],
+                      work_dir=cfg.work_dir, embedding_dim=64)
+    ckpt3 = CheckpointManager(spark, cfg.work_dir, resume=True)
+    build_scored_pairs(spark, dfa, dfb, cfg3, ckpt=ckpt3)
+    pair_runs3 = [r for r in ckpt3.runs if r["stage"] == "pairs"]
+    assert pair_runs3 and all(not r["resumed"] for r in pair_runs3)
+
+
+def test_lineage_table_written(spark, tmp_path):
+    dfa, dfb, _gold = presidents(spark)
+    cfg = LinkConfig(by="name", work_dir=str(tmp_path / "work"))
+    ckpt = CheckpointManager(spark, cfg.work_dir, resume=True)
+    build_scored_pairs(spark, dfa, dfb, cfg, ckpt=ckpt)
+    ckpt.write_lineage()
+    lineage = spark.read.parquet(os.path.join(cfg.work_dir, "_lineage"))
+    stages = {r["stage"] for r in lineage.collect()}
+    assert "pairs" in stages and "embeddings" in stages
+    assert lineage.where("wall_s < 0").count() == 0
