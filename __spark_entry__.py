@@ -319,7 +319,113 @@ def _q_soundex_neq(spark, sf):
     )
 
 
+def _q_p4_pairwise_distinct(spark, sf):
+    """P4: first row per key pair (dropDuplicates keep-first semantics,
+    made deterministic by min-id)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _q_p6_label_filter(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "event_type"
+    )
+
+
+def _q_j4_coalesce_upsert(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") % 2 == 0)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        )
+    )
+
+
+def _q_a3_groups_without(spark, sf):
+    """A3: keep rows of groups with NO accepted member (windowed
+    conditional count == 0)."""
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    acc = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).over(w)
+    return (
+        o.withColumn("_acc", acc)
+        .where(F.col("_acc") == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def _q_u2_unpivot(spark, sf):
+    p = _t(spark, sf, "part").where(F.col("p_partkey") <= 200)
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select("p_partkey", "metric", F.round(F.col("value").cast("double"), 6).alias("value"))
+
+
+def _q_m3_logistic_score(spark, sf):
+    """M3: probability scoring as a pure column expression with broadcast
+    (literal) coefficients — 1/(1+exp(-(b0 + b1*x)))."""
+    ev = _t(spark, sf, "events")
+    z = F.lit(-2.0) + F.lit(0.05) * F.col("value")
+    return ev.select(
+        "event_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p")
+    )
+
+
 # --- rows-only checks (non-SQL-expressible: iterative / hash-specific) -------
+
+
+def _q_lexical_features(spark, sf):
+    """F2-F8 full lexical feature set over a bounded name cross join
+    (pandas-UDF kernels; no DuckDB equivalents for OSA/LCS/q-gram family)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.functions.strdist import pair_features_udf, soundex_neq_col
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 10).select(
+        F.col("c_custkey").alias("a_id"), F.col("c_name").alias("a_name"))
+    s = _t(spark, sf, "supplier").where(F.col("s_suppkey") <= 10).select(
+        F.col("s_suppkey").alias("b_id"), F.col("s_name").alias("b_name"))
+    df = c.crossJoin(s).withColumn(
+        "f", pair_features_udf(F.col("a_name"), F.col("b_name"))
+    )
+    return df.select(
+        "a_id", "b_id",
+        F.round("f.jw", 6).alias("jw"), F.col("f.osa").alias("osa"),
+        F.round("f.cosine_qgram", 6).alias("cosine_qgram"),
+        F.round("f.jaccard_qgram", 6).alias("jaccard_qgram"),
+        F.col("f.lcs").alias("lcs"), F.col("f.qgram").alias("qgram"),
+        soundex_neq_col("a_name", "b_name").alias("soundex_neq"),
+    )
+
+
+def _q_o3_weighted_sample(spark, sf):
+    """O3: seeded kernel-weighted sampling without replacement
+    (Efraimidis-Spirakis); deterministic in Spark, no cross-engine oracle."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.sampling import kernel_weight_col, weighted_sample_n
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("A"),
+        F.col("event_id").cast("string").alias("B"),
+        (F.abs(F.pmod(F.col("value"), F.lit(100))) / 100.0).alias("match_probability"),
+        F.lit(None).cast("string").alias("match"),
+    )
+    w = kernel_weight_col()
+    return weighted_sample_n(ev, w, 50, seed=7).select("A", "match_probability")
 
 
 def _q_minhash_lsh(spark, sf):
@@ -406,7 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_pairs": _q_jw_pairs,
         "cosine_topk": _q_cosine_topk,
         "soundex_neq": _q_soundex_neq,
+        "p4_pairwise_distinct": _q_p4_pairwise_distinct,
+        "p6_label_filter": _q_p6_label_filter,
+        "j4_coalesce_upsert": _q_j4_coalesce_upsert,
+        "a3_groups_without": _q_a3_groups_without,
+        "u2_unpivot": _q_u2_unpivot,
+        "m3_logistic_score": _q_m3_logistic_score,
         # rows-only (iterative / hash-function-specific; no ANSI-SQL oracle)
+        "lexical_features": _q_lexical_features,
+        "o3_weighted_sample": _q_o3_weighted_sample,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
         "connected_components": _q_connected_components,
@@ -556,6 +670,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(score, 6) AS score
             FROM scored WHERE rnk <= 5
         """,
-        # soundex_neq: DuckDB has no soundex — rows-only check
+        "p4_pairwise_distinct": """
+            SELECT lang, source, min(doc_id) AS keep_id
+            FROM documents GROUP BY lang, source
+        """,
+        "p6_label_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type IN ('purchase', 'click')
+        """,
+        "j4_coalesce_upsert": """
+            SELECT o_orderkey,
+                   coalesce(c_mktsegment, 'UNKNOWN') AS segment
+            FROM orders LEFT JOIN (
+              SELECT * FROM customer WHERE c_custkey % 2 = 0
+            ) ON o_custkey = c_custkey
+        """,
+        "a3_groups_without": """
+            SELECT o_orderkey, o_custkey FROM (
+              SELECT o_orderkey, o_custkey,
+                     sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY o_custkey) AS acc
+              FROM orders
+            ) WHERE acc = 0
+        """,
+        "u2_unpivot": """
+            SELECT p_partkey, 'p_size' AS metric,
+                   round(CAST(p_size AS DOUBLE), 6) AS value
+            FROM part WHERE p_partkey <= 200
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS metric,
+                   round(CAST(p_retailprice AS DOUBLE), 6) AS value
+            FROM part WHERE p_partkey <= 200
+        """,
+        "m3_logistic_score": """
+            SELECT event_id,
+                   round(1.0 / (1.0 + exp(-(-2.0 + 0.05 * value))), 6) AS p
+            FROM events
+        """,
+        # soundex_neq / lexical_features: DuckDB lacks soundex/OSA/LCS/q-gram
+        # o3_weighted_sample: seeded-rand sampling, engine-specific
         # minhash/simhash/connected_components/lang_id/em_mixture: rows-only
     }
