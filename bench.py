@@ -91,13 +91,13 @@ def main() -> None:
     brute_force_topk(emb_table, queries_df, k=10).count()
     timings["q5_cosine_topk"] = time.time() - t0
 
-    # q6: connected components over the LSH candidate graph
+    # q6: near-dup clustering — LSH bucket-star edges (O(n) per bucket, not
+    # O(n^2)) -> connected components with driver-finished tail
     t0 = time.time()
     from fuzzylink_spark.operators.clustering import connected_components
+    from fuzzylink_spark.operators.dedup import lsh_bucket_star_edges
 
-    edges = lsh_candidate_pairs(docs, num_hashes=16, bands=8, shingle=5).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
+    edges = lsh_bucket_star_edges(docs, num_hashes=16, bands=8, shingle=5)
     connected_components(edges).count()
     timings["q6_connected_components"] = time.time() - t0
 

@@ -75,34 +75,89 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return (int(row["n"]), int(row["h"] or 0))
 
 
+def _driver_union_find(edge_rows: list) -> list[tuple[int, int]]:
+    """Exact union-find on a collected edge list; returns (id, root) with
+    root = min id of the component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set()
+    for src, dst in edge_rows:
+        nodes.add(src)
+        nodes.add(dst)
+    return [(n, find(n)) for n in nodes]
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 1,
+    driver_finish_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Component assignment DataFrame[id, component] (component = min id).
 
     ``edges`` is DataFrame[src long, dst long]. Deterministic; converges in
-    O(log n) star rounds.
+    O(log n) star rounds. Each star round CONTRACTS the graph (edges
+    attach to neighborhood minima), so once the residual edge set fits
+    ``driver_finish_threshold`` the exact tail runs as a driver-side
+    union-find — the common case finishes in one distributed round plus a
+    milliseconds-scale driver pass instead of 4-6 more shuffle rounds.
+    Set the threshold to 0 to stay fully distributed.
     """
-    cur = _canon(edges)
+    spark = edges.sparkSession
+    # materialize the canonical edges once: the caller's edge plan may be
+    # expensive (e.g. a MinHash scan) and every star round / node scan
+    # would otherwise recompute it
+    cur = _canon(edges).localCheckpoint(eager=True)
     all_nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
+        cur.select(F.col("src").alias("id"))
+        .unionAll(cur.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for i in range(max_iter):
-        # one canon/distinct per round (both stars tolerate duplicate edges);
-        # eager localCheckpoint keeps the signature job reading cached blocks
-        # instead of recomputing the round chain
-        cur = _canon(_small_star(_large_star(cur)))
-        if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
-        sig = _signature(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    n0 = cur.count()
+    if 0 < n0 <= driver_finish_threshold:
+        assign_rows = _driver_union_find([(r["src"], r["dst"]) for r in cur.collect()])
+        cur = spark.createDataFrame(
+            [(root, node) for node, root in assign_rows if node != root],
+            schema="src long, dst long",
+        )
+    else:
+        for i in range(max_iter):
+            # one canon/distinct per round (stars tolerate duplicate edges);
+            # eager localCheckpoint keeps the signature job reading cached
+            # blocks instead of recomputing the round chain
+            cur = _canon(_small_star(_large_star(cur)))
+            if (i + 1) % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
+            sig = _signature(cur)
+            if sig == prev_sig:
+                break
+            if sig[0] <= driver_finish_threshold:
+                # each round contracts the graph; once the residual fits,
+                # finish exactly on the driver (emitted as node -> root)
+                assign_rows = _driver_union_find(
+                    [(r["src"], r["dst"]) for r in cur.collect()]
+                )
+                cur = spark.createDataFrame(
+                    [(root, node) for node, root in assign_rows if node != root],
+                    schema="src long, dst long",
+                )
+                break
+            prev_sig = sig
     # converged edges are canonical (src < dst): src is the component root
     assign = cur.select(F.col("src").alias("component"), F.col("dst").alias("id"))
     roots = cur.select(F.col("src").alias("component")).distinct().select(

@@ -148,6 +148,52 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_star_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    content_col: str = "text",
+    shingle: int = 5,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-dup EDGES for clustering: per (band, bucket), connect every
+    member to the bucket's min id (a star) instead of emitting all pairs.
+
+    For connected components the star is equivalent to the clique — same
+    components — but emits O(n) edges per bucket instead of O(n^2): a
+    boilerplate bucket with 10^5 docs yields 10^5 edges, not 10^10. Use
+    ``lsh_candidate_pairs`` when per-pair verification (Jaccard) is the
+    goal; use this when transitive clustering is.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(df.select(id_col, content_col), content_col,
+                            num_hashes, shingle)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("minhash"), b * rows + 1, rows).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n"), F.min(id_col).alias("_root")
+    )
+    return (
+        banded.join(sizes.where(F.col("_n") <= max_bucket), ["band", "bucket"])
+        .where(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, cand: DataFrame, id_col: str = "doc_id",
                         content_col: str = "text", shingle: int = 5,
                         threshold: float = 0.7) -> DataFrame:
