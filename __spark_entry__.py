@@ -382,7 +382,87 @@ def _q_m3_logistic_score(spark, sf):
     )
 
 
+def _q_ngram_jaccard_docs(spark, sf):
+    """Shingle-set Jaccard between consecutive docs of the same lang —
+    the dedup verify step, with a real set-algebra oracle (DuckDB list
+    functions). Uses literal 5-gram substring sets on both engines."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", F.lower("text").alias("t"))
+    n = F.greatest(F.length("t") - F.lit(4), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(F.col("t"), i, 5))
+    )
+    sh = docs.withColumn("g", grams)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    paired = (
+        sh.withColumn("b_id", F.lead("doc_id").over(w))
+        .withColumn("gb", F.lead("g").over(w))
+        .where(F.col("b_id").isNotNull())
+    )
+    inter = F.size(F.array_intersect("g", "gb")).cast("double")
+    union = F.size(F.array_union("g", "gb")).cast("double")
+    return paired.select(
+        F.col("doc_id").alias("a"), F.col("b_id").alias("b"),
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6).alias("jaccard"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.functions.text import lang_id
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
 # --- rows-only checks (non-SQL-expressible: iterative / hash-specific) -------
+
+
+def _q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed approximate top-k (hash-specific bucketing: rows-only)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.similarity_search import lsh_bucketed_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucketed_topk(emb, queries, k=5, planes=6)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def _q_embedding_near_dup(spark, sf):
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.similarity_search import embedding_near_dup_pairs, l2_normalize_col
+    base = _t(spark, sf, "embeddings").select(
+        "vec_id", l2_normalize_col("embedding").alias("embedding")
+    )
+    # plant exact duplicates (vec_id + 10^6) so recall is observable on the
+    # otherwise-random vectors; every planted pair must be found
+    dups = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(dups)
+    return embedding_near_dup_pairs(emb, threshold=0.95, planes=6).select("a", "b")
+
+
+def _q_multimodal_features(spark, sf):
+    """Binary media plumbing: deterministic synthetic payloads -> Arrow
+    batch feature extraction (decode kernels stubbed; plumbing real)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.multimodal import extract_features, synth_media
+    media = synth_media(spark, n=48)
+    feats = extract_features(media, dim=16, fake=True)
+    return feats.select("media_id", "kind", F.size("feature").alias("dim"))
 
 
 def _q_lexical_features(spark, sf):
@@ -466,15 +546,6 @@ def _q_connected_components(spark, sf):
     return connected_components(edges)
 
 
-def _q_lang_id(spark, sf):
-    import sys
-    if _REPO not in sys.path:
-        sys.path.insert(0, _REPO)
-    from fuzzylink_spark.functions.text import lang_id
-    docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
-
-
 def _q_em_mixture(spark, sf):
     import sys
     if _REPO not in sys.path:
@@ -518,13 +589,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_groups_without": _q_a3_groups_without,
         "u2_unpivot": _q_u2_unpivot,
         "m3_logistic_score": _q_m3_logistic_score,
+        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "lang_id": _q_lang_id,
         # rows-only (iterative / hash-function-specific; no ANSI-SQL oracle)
         "lexical_features": _q_lexical_features,
         "o3_weighted_sample": _q_o3_weighted_sample,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
         "connected_components": _q_connected_components,
-        "lang_id": _q_lang_id,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_features": _q_multimodal_features,
         "em_mixture_posterior": _q_em_mixture,
     }
 
@@ -706,6 +781,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    round(1.0 / (1.0 + exp(-(-2.0 + 0.05 * value))), 6) AS p
             FROM events
+        """,
+        "ngram_jaccard_docs": """
+            WITH sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                       i -> substr(lower(text), CAST(i AS INT), 5))) AS g
+              FROM documents
+            ), paired AS (
+              SELECT doc_id AS a, lang, g,
+                     lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS b,
+                     lead(g) OVER (PARTITION BY lang ORDER BY doc_id) AS gb
+              FROM sh
+            )
+            SELECT a, b,
+                   round(CASE WHEN len(list_distinct(list_concat(g, gb))) > 0
+                     THEN CAST(len(list_intersect(g, gb)) AS DOUBLE)
+                          / len(list_distinct(list_concat(g, gb)))
+                     ELSE 0.0 END, 6) AS jaccard
+            FROM paired WHERE b IS NOT NULL
+        """,
+        "lang_id": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS t
+              FROM documents
+            ), scores AS (
+              SELECT doc_id,
+                len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','with'))) AS s_en,
+                len(list_filter(t, x -> x IN ('el','la','de','que','los','una','por','con'))) AS s_es,
+                len(list_filter(t, x -> x IN ('le','la','les','des','une','est','dans','pour'))) AS s_fr,
+                len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+                len(list_filter(t, x -> x IN ('de5','shi4','le5'))) AS s_zh
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                        WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+                        ELSE 'zh' END AS lang_pred
+            FROM scores
         """,
         # soundex_neq / lexical_features: DuckDB lacks soundex/OSA/LCS/q-gram
         # o3_weighted_sample: seeded-rand sampling, engine-specific

@@ -33,13 +33,21 @@ from fuzzylink_spark.operators.sampling import (
     kernel_weight_col,
     weighted_sample_n,
 )
-from fuzzylink_spark.operators.scoring import LogitModel, fit_logit, with_match_probability
+from fuzzylink_spark.operators.scoring import LogitModel, fit_logit, fit_rf, with_match_probability
 
 log = logging.getLogger(__name__)
 
 
 def _labeled_count(pairs: DataFrame) -> int:
     return pairs.where(F.col("match").isNotNull()).count()
+
+
+def _fit_model(pairs: DataFrame, config: LinkConfig):
+    """Learner dispatch for the AL loop: glm or ranger, as in the
+    reference (R/fuzzylink.R:233-245)."""
+    if config.learner == "rf":
+        return fit_rf(pairs, config.features, seed=config.seed)
+    return fit_logit(pairs, config.features)
 
 
 def active_learning_loop(
@@ -51,7 +59,7 @@ def active_learning_loop(
     """M6. ``pairs`` must carry features + a partially-filled ``match``
     column (the seed labels). Returns (labeled pairs, final model,
     gradient trace)."""
-    model = fit_logit(pairs, config.features)
+    model = _fit_model(pairs, config)
     scored = with_match_probability(pairs, model).localCheckpoint(eager=True)
     grads: list[float] = []
     for rnd in range(max_rounds):
@@ -65,7 +73,7 @@ def active_learning_loop(
             break
         labels = labeler.label_pairs(batch)
         scored = upsert_labels(scored, labels)
-        model = fit_logit(scored, config.features)
+        model = _fit_model(scored, config)
         rescored = with_match_probability(
             scored.withColumnRenamed("match_probability", "_p_old"), model
         )

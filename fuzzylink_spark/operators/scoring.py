@@ -76,6 +76,54 @@ def fit_logit(labeled: DataFrame, features: list[str],
 
 
 # ---------------------------------------------------------------------------
+# random forest (M2) — the reference's ranger learner (R/fuzzylink.R:233-238)
+# via pyspark.ml; distributed fit AND distributed scoring
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RFModel:
+    features: list[str]
+    model: object  # pyspark.ml RandomForestClassificationModel
+
+    def transform_probability(self, df: DataFrame) -> DataFrame:
+        """Score a DataFrame: adds match_probability = P(class 1)."""
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.functions import vector_to_array
+
+        assembled = VectorAssembler(
+            inputCols=self.features, outputCol="_fv", handleInvalid="keep"
+        ).transform(df)
+        scored = self.model.transform(assembled)
+        out = scored.withColumn(
+            "match_probability",
+            F.element_at(vector_to_array(F.col("probability")), 2),
+        )
+        return out.drop("_fv", "rawPrediction", "probability", "prediction")
+
+
+def fit_rf(labeled: DataFrame, features: list[str], label_col: str = "match",
+           num_trees: int = 100, seed: int = 42) -> RFModel:
+    """M2: random-forest probability learner on the labeled subset with the
+    full lexical feature set (reference ranger(probability=TRUE) on
+    sim+jw+osa+...+soundex, R/fuzzylink.R:233-238)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    train = labeled.where(F.col(label_col).isin("Yes", "No")).withColumn(
+        "_label", F.col(label_col).eqNullSafe("Yes").cast("double")
+    )
+    assembled = VectorAssembler(
+        inputCols=features, outputCol="_fv", handleInvalid="keep"
+    ).transform(train)
+    rf = RandomForestClassifier(
+        featuresCol="_fv", labelCol="_label", numTrees=num_trees, seed=seed,
+        probabilityCol="probability",
+    )
+    return RFModel(features=list(features), model=rf.fit(assembled))
+
+
+# ---------------------------------------------------------------------------
 # EM two-component Gaussian mixture (M4) on a similarity score
 # ---------------------------------------------------------------------------
 
@@ -417,7 +465,19 @@ def fit_mixture2d_on_pairs(pairs: DataFrame, fx: str = "sim", fy: str = "jw",
 def with_match_probability(pairs: DataFrame, model) -> DataFrame:
     """M3 + exact-match override: score all pairs, then force
     probability 1.0 where A == B (reference R/fuzzylink.R:390-391, the
-    exact-match short-circuit P7)."""
+    exact-match short-circuit P7). Works with column-expression models
+    (logit/mixture: broadcast coefficients, zero Python) and transform
+    models (random forest)."""
+    if hasattr(model, "transform_probability"):
+        scored = model.transform_probability(
+            pairs.drop("match_probability") if "match_probability" in pairs.columns
+            else pairs
+        )
+        return scored.withColumn(
+            "match_probability",
+            F.when(F.lower(F.col("A")) == F.lower(F.col("B")), F.lit(1.0))
+            .otherwise(F.col("match_probability")),
+        )
     p = model.score_col() if isinstance(model, LogitModel) else model.posterior_col()
     return pairs.withColumn(
         "match_probability",

@@ -161,13 +161,36 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
     blended = pairs.withColumn(
         "score", (F.col("sim") + F.col("jw")) / F.lit(2.0)
     )
-    if config.learner == "logit" and labeler is not None:
+    if config.learner == "rf":
+        # the reference's ranger learner uses the full lexical feature set
+        # (R/fuzzylink.R:179-186); compute it once here (Arrow batch pass)
+        from fuzzylink_spark.functions.strdist import pair_features_udf, soundex_neq_col
+
+        blended = (
+            blended.withColumn("_f", pair_features_udf(F.col("A"), F.col("B")))
+            .withColumn("osa", F.col("_f.osa"))
+            .withColumn("cosine_qgram", F.col("_f.cosine_qgram"))
+            .withColumn("jaccard_qgram", F.col("_f.jaccard_qgram"))
+            .withColumn("lcs", F.col("_f.lcs"))
+            .withColumn("qgram", F.col("_f.qgram"))
+            .withColumn("soundex_neq", soundex_neq_col("A", "B"))
+            .drop("_f")
+        )
+        config = replace(config, features=[
+            "sim", "jw", "osa", "cosine_qgram", "jaccard_qgram", "lcs",
+            "qgram", "soundex_neq",
+        ])
+    if config.learner in ("logit", "rf") and labeler is not None:
         scored, model, _grads = active_learning_loop(blended, labeler, config)
         cutoff = expected_f1_cutoff(scored, bins=config.cutoff_bins,
                                     fallback=config.fallback_cutoff)
         scored = recall_search_loop(scored, labeler, config, cutoff)
         return scored, model
-    if config.learner == "logit":
+    if config.learner == "rf":
+        from fuzzylink_spark.operators.scoring import fit_rf
+
+        model = fit_rf(blended, config.features, seed=config.seed)
+    elif config.learner == "logit":
         model = fit_logit(blended, config.features)
     elif config.learner == "em1d":
         model = fit_mixture_on_pairs(

@@ -73,6 +73,31 @@ def test_voters_f1(spark):
     assert f1 >= 0.99, f"pairwise F1 {f1:.4f} (P={precision:.4f}, R={recall:.4f})"
 
 
+def test_voters_rf_learner(spark):
+    """M2: the random-forest learner (reference ranger path) with the full
+    lexical feature set through the AL loop."""
+    dfa, dfb, gold = voters(spark, n_base=150, seed=11)
+    ga = dfa.select("a_id", F.col("full_name").alias("a_name"))
+    gb = dfb.select("b_id", F.col("full_name").alias("b_name"))
+    gold_names = (
+        gold.where("is_match").join(ga, "a_id").join(gb, "b_id")
+        .select("a_name", "b_name")
+    )
+    res = fuzzylink(
+        spark, dfa, dfb, by="full_name", blocking_keys=["city"],
+        config=LinkConfig(learner="rf", max_labels=1500, al_grad_tol=0.1),
+        labeler=GoldLabeler(gold_names),
+    )
+    pred = res.linked.where(F.col("B").isNotNull()).select("a_id", "b_id").distinct()
+    gp = gold.where("is_match").select("a_id", "b_id")
+    tp = pred.join(gp, ["a_id", "b_id"]).count()
+    npred, ngold = pred.count(), gp.count()
+    precision = tp / npred if npred else 0.0
+    recall = tp / ngold if ngold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.97, f"RF pairwise F1 {f1:.4f} (P={precision:.4f}, R={recall:.4f})"
+
+
 def test_repo_files_sha256_invariant(spark):
     files, _, _ = repo_files(spark, n_clusters=10)
     from fuzzylink_spark.functions.text import content_sha256
