@@ -105,11 +105,13 @@ def cpu_control(n: int, seconds: float = 6.0) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # controls FIRST, on a quiet machine (post-Spark GC/teardown noise
+    # otherwise contaminates the 8-proc control)
+    ctrl_lo = cpu_control(8)
+    ctrl_hi = cpu_control(32)
     lo = run(8, sf_dir)
     hi = run(32, sf_dir)
     eff = (lo["wall_s"] / hi["wall_s"]) / 4.0
-    ctrl_lo = cpu_control(8)
-    ctrl_hi = cpu_control(32)
     hw_ceiling = (ctrl_hi / ctrl_lo) / 4.0
     rel = eff / hw_ceiling if hw_ceiling else 0.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
