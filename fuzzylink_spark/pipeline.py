@@ -90,9 +90,11 @@ def build_scored_pairs(
 
     # stage 2: distinct keys per side (P2); the deterministic encoder (S4')
     # runs inline inside each GEMM tile, so the embedding *table* is only
-    # materialized as a checkpoint/lineage artifact when persistence is on
-    uA = unique_keys_per_block(a, by)
-    uB = unique_keys_per_block(b, by)
+    # materialized as a checkpoint/lineage artifact when persistence is on.
+    # The distinct sides feed three downstream consumers (salt plan, dedup
+    # check, the cogroup itself) — persist so they compute once.
+    uA = unique_keys_per_block(a, by).persist()
+    uB = unique_keys_per_block(b, by).persist()
     if config.work_dir:
         keys = uA.select("key").union(uB.select("key")).distinct()
         emb_table = embed_keys(keys, "key", dim=config.embedding_dim,
@@ -104,6 +106,8 @@ def build_scored_pairs(
     # pass (J2 + F2/F10); every block adaptively 2-D tiled before any pair
     # exists; embeddings computed in-tile from keys (shuffle moves strings,
     # never vectors)
+    import concurrent.futures as _fut
+
     from fuzzylink_spark.functions.vectors import embed_strings
     from fuzzylink_spark.operators.features import cogrouped_pair_features
 
@@ -113,20 +117,26 @@ def build_scored_pairs(
     def encoder(keys_batch: list[str]):
         return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
 
-    scored = cogrouped_pair_features(uA, uB, encoder=encoder,
-                                     pair_budget=config.salt_pair_threshold)
     # P4 pairwise distinct (R/fuzzylink.R:189-190): a (A,B) pair can repeat
     # only when some key occurs under >1 block key — check that cheaply on
-    # the distinct-key sides and skip the 24M-row dedup shuffle when it
-    # cannot happen (the common case for well-formed blocking)
-    multi_block_keys = (
-        uA.select("block_key", "key").union(uB.select("block_key", "key"))
-        .groupBy("key")
-        .agg(F.countDistinct("block_key").alias("nb"))
-        .where(F.col("nb") > 1)
-        .limit(1)
-        .count()
-    )
+    # the (persisted) distinct-key sides. Runs in a worker thread so its
+    # job overlaps the tile-plan job inside cogrouped_pair_features (Spark
+    # schedules concurrent jobs from separate threads).
+    def _multi_block() -> int:
+        return (
+            uA.select("block_key", "key").union(uB.select("block_key", "key"))
+            .groupBy("key")
+            .agg(F.countDistinct("block_key").alias("nb"))
+            .where(F.col("nb") > 1)
+            .limit(1)
+            .count()
+        )
+
+    with _fut.ThreadPoolExecutor(max_workers=1) as ex:
+        check = ex.submit(_multi_block)
+        scored = cogrouped_pair_features(uA, uB, encoder=encoder,
+                                         pair_budget=config.salt_pair_threshold)
+        multi_block_keys = check.result()
     if multi_block_keys > 0:
         scored = scored.dropDuplicates(["A", "B"])
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
@@ -266,6 +276,12 @@ def fuzzylink(
     possibly several on many-to-many matches) plus the scored pair table."""
     config = replace(config or LinkConfig(), by=by,
                      blocking_keys=list(blocking_keys or []))
+    # S2 validation with a friendly error before any plan is built
+    # (reference R/fuzzylink.R:48-53)
+    from fuzzylink_spark.sources.tables import validate_columns
+
+    validate_columns(dfA, [by, *config.blocking_keys], name="dfA")
+    validate_columns(dfB, [by, *config.blocking_keys], name="dfB")
     ckpt = CheckpointManager(spark, config.work_dir, config.resume)
 
     pairs = build_scored_pairs(spark, dfA, dfB, config, ckpt, labeler)
