@@ -402,8 +402,8 @@ def fit_mixture2d_em(
             w = ws[idx]
             sw = max(w.sum(), 1e-9)
             mu = (float((w * xs[idx]).sum() / sw), float((w * ys[idx]).sum() / sw))
-            sd = (math.sqrt(max(float((w * (xs[idx] - mu[0]) ** 2).sum() / sw), 1e-6)),
-                  math.sqrt(max(float((w * (ys[idx] - mu[1]) ** 2).sum() / sw), 1e-6)))
+            sd = (math.sqrt(max(float((w * (xs[idx] - mu[0]) ** 2).sum() / sw), 1e-4)),
+                  math.sqrt(max(float((w * (ys[idx] - mu[1]) ** 2).sum() / sw), 1e-4)))
             mus.append(mu); sds.append(sd); pis.append(max(sw / total, 1e-6))
         prev = -np.inf
         for _ in range(max_iter):
@@ -423,8 +423,8 @@ def fit_mixture2d_em(
                 sw = max(w.sum(), 1e-9)
                 mus[j] = (float((w * xs).sum() / sw), float((w * ys).sum() / sw))
                 sds[j] = (
-                    math.sqrt(max(float((w * (xs - mus[j][0]) ** 2).sum() / sw), 1e-6)),
-                    math.sqrt(max(float((w * (ys - mus[j][1]) ** 2).sum() / sw), 1e-6)),
+                    math.sqrt(max(float((w * (xs - mus[j][0]) ** 2).sum() / sw), 1e-4)),
+                    math.sqrt(max(float((w * (ys - mus[j][1]) ** 2).sum() / sw), 1e-4)),
                 )
                 pis[j] = min(max(float(sw / total), 1e-6), 1 - 1e-6)
             if abs(ll - prev) < tol * (abs(prev) + 1.0):
