@@ -551,7 +551,7 @@ def _q_em_mixture(spark, sf):
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
-    from fuzzylink_spark.operators.scoring import fit_mixture_on_pairs, with_match_probability
+    from fuzzylink_spark.operators.scoring import fit_mixture_on_pairs
     docs = _t(spark, sf, "documents")
     scores = docs.select(
         "doc_id", (F.least(F.col("n_chars") / 500.0, F.lit(1.0))).alias("sim")

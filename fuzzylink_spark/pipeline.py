@@ -37,9 +37,8 @@ from pyspark.sql import functions as F
 from fuzzylink_spark.config import LinkConfig
 from fuzzylink_spark.functions.vectors import embed_keys
 from fuzzylink_spark.operators.blocking import add_block_key, distinct_blocks, drop_incomplete, semi_join_blocks
-from fuzzylink_spark.operators.candidates import candidate_pairs, find_hot_blocks, pair_stats, unique_keys_per_block
+from fuzzylink_spark.operators.candidates import pair_stats, unique_keys_per_block
 from fuzzylink_spark.operators.cutoff import accepted_matches, expected_f1_cutoff
-from fuzzylink_spark.operators.features import attach_embeddings, score_pairs
 from fuzzylink_spark.operators.labeling import merge_labels
 from fuzzylink_spark.operators.sampling import top_k_per_group, uniform_sample_n
 from fuzzylink_spark.operators.scoring import (
