@@ -120,6 +120,27 @@ def expected_f1_cutoff(
     return float(best[p_col]) - half_bucket
 
 
+def mutual_best_matches(pairs: DataFrame, p_col: str = "match_probability",
+                        a_col: str = "A", b_col: str = "B") -> DataFrame:
+    """One-to-one post-filter: keep a pair only if it is the highest-
+    probability candidate for BOTH its A and its B (mutual argmax; ties
+    broken deterministically by the partner key).
+
+    Not in the reference (which returns many-to-many pairs), but standard
+    for 1:1 linkage problems (e.g. voter-file dedup): a distinct person on
+    each side kills same-name false positives whenever the true match is
+    present and stronger. Two window functions, no joins.
+    """
+    wa = Window.partitionBy(a_col).orderBy(F.desc(p_col), F.asc(b_col))
+    wb = Window.partitionBy(b_col).orderBy(F.desc(p_col), F.asc(a_col))
+    return (
+        pairs.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+        .drop("_ra", "_rb")
+    )
+
+
 def accepted_matches(pairs: DataFrame, cutoff: float,
                      p_col: str = "match_probability",
                      label_col: str = "match") -> DataFrame:

@@ -215,6 +215,42 @@ def ngram_jaccard_pairs(df: DataFrame, cand: DataFrame, id_col: str = "doc_id",
     )
 
 
+def near_dup_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle: int = 5,
+) -> DataFrame:
+    """One-call near-duplicate dedup: MinHash-LSH recall -> exact shingle-
+    Jaccard verification -> connected components -> keep the min-id
+    representative per duplicate cluster. Returns the input restricted to
+    representatives, plus ``dup_cluster`` and ``n_dupes`` columns.
+    """
+    from fuzzylink_spark.operators.clustering import connected_components
+
+    cand = lsh_candidate_pairs(df, id_col=id_col, num_hashes=num_hashes,
+                               bands=bands, content_col=content_col,
+                               shingle=shingle)
+    verified = ngram_jaccard_pairs(df, cand, id_col=id_col,
+                                   content_col=content_col, shingle=shingle,
+                                   threshold=jaccard_threshold)
+    edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    assign = connected_components(edges).withColumnRenamed("id", id_col)
+    joined = df.join(assign, id_col, "left").withColumn(
+        "dup_cluster", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    w = Window.partitionBy("dup_cluster").orderBy(F.col(id_col))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count("*").over(Window.partitionBy("dup_cluster")))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def simhash64_udf(seed: int = 11):
     """Series→Series pandas UDF: text -> 64-bit SimHash (signed long).
 
