@@ -132,31 +132,40 @@ def _q_j6_linkback(spark, sf):
 
 
 def _q_a1_counts(spark, sf):
+    # every aggregate explicitly cast to long on BOTH engines: DuckDB's
+    # sum(CASE..) yields HUGEINT, which stringifies differently in the
+    # driver's hasher than Spark's bigint (the round-1 hash mismatch)
     o = _t(spark, sf, "orders")
     return o.agg(
-        F.count("*").alias("n_total"),
-        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
-        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long").alias("n_f"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("long").alias("n_big"),
     )
 
 
 def _q_a2_topk_window(spark, sf):
-    from pyspark.sql import Window
+    """A2 routed through ``sampling.top_k_per_group`` (window row_number
+    with deterministic tiebreak, rank kept)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.sampling import top_k_per_group
     o = _t(spark, sf, "orders").where(F.col("o_custkey") < 100)
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        o.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "rnk")
-    )
+    out = top_k_per_group(o, "o_custkey", "o_totalprice", 3,
+                          tiebreak_cols=("o_orderkey",), rank_col="rnk")
+    return out.select("o_custkey", "o_orderkey", F.col("rnk").cast("int").alias("rnk"))
 
 
 def _q_w1_cutoff_program(spark, sf):
-    """The expected-F1 cutoff window program (W1-W3) over a bounded
-    histogram of a probability proxy."""
-    from pyspark.sql import Window
+    """The expected-F1 cutoff window program (W1-W3), routed through the
+    package's ``cutoff._f1_frame`` — the same running-sum program the
+    cutoff search executes."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.cutoff import _f1_frame
     docs = _t(spark, sf, "documents")
     p = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
     hist = (
@@ -164,22 +173,13 @@ def _q_w1_cutoff_program(spark, sf):
         .groupBy("p")
         .agg(F.count("*").cast("double").alias("w"))
     )
-    asc = Window.orderBy(F.asc("p")).rowsBetween(Window.unboundedPreceding, -1)
-    desc = Window.orderBy(F.desc("p")).rowsBetween(Window.unboundedPreceding, 0)
-    out = (
-        hist.withColumn("fn", F.coalesce(F.sum(F.col("w") * F.col("p")).over(asc), F.lit(0.0)))
-        .withColumn("tp", F.sum(F.col("w") * F.col("p")).over(desc))
-        .withColumn("fp", F.sum(F.col("w") * (1 - F.col("p"))).over(desc))
-    )
-    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
-    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
-    f1 = F.lit(2.0) * prec * rec / (prec + rec)
+    out = _f1_frame(hist, "p", "w", None)
     return out.select(
         "p",
         F.round("tp", 6).alias("tp"),
         F.round("fp", 6).alias("fp"),
         F.round("fn", 6).alias("fn"),
-        F.round(F.when(F.isnan(f1) | f1.isNull(), F.lit(0.0)).otherwise(f1), 6).alias("expected_f1"),
+        F.round("expected_f1", 6).alias("expected_f1"),
     )
 
 
@@ -215,10 +215,8 @@ def _q_p7_exact_split(spark, sf):
     """Exact-match partition semantics (P7): flag rows where two key
     expressions coincide, forcing probability 1."""
     docs = _t(spark, sf, "documents")
-    a = F.lower(F.substring("text", 1, 8))
-    b = F.lower(F.substring("text", 1, 8))
-    # a==b is trivially true; the real assertion is the when() semantics on
-    # a non-trivial pair: compare text prefix vs source-derived key
+    # the assertion is the when() semantics on a non-trivial pair:
+    # compare text prefix vs source-derived key
     k1 = F.lower(F.substring("text", 1, 3))
     k2 = F.lower(F.substring("source", 1, 3))
     return docs.select(
@@ -228,20 +226,38 @@ def _q_p7_exact_split(spark, sf):
 
 
 def _q_p9_final_filter(spark, sf):
-    ev = _t(spark, sf, "events")
-    cond = (F.col("event_type") == "purchase") | (
-        F.col("props").isNull() & (F.col("value") > 50.0)
+    """P9 routed through ``cutoff.accepted_matches``: labeled-Yes OR
+    (unlabeled AND p>cutoff). Labels/probability are mapped from event
+    columns: purchase='Yes', props-present='No', props-null=unlabeled;
+    p=value, cutoff=50."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.cutoff import accepted_matches
+    ev = _t(spark, sf, "events").withColumn(
+        "match",
+        F.when(F.col("event_type") == "purchase", F.lit("Yes"))
+        .when(F.col("props").isNotNull(), F.lit("No"))
+        .otherwise(F.lit(None).cast("string")),
     )
-    return ev.where(cond).select("event_id", "event_type", F.round("value", 6).alias("value"))
+    out = accepted_matches(ev, cutoff=50.0, p_col="value", label_col="match")
+    return out.select("event_id", "event_type", F.round("value", 6).alias("value"))
 
 
 def _q_dedup_exact(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return (
-        docs.withColumn("h", F.sha2("text", 256))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dupes"))
-        .select("keep_id", "n_dupes", "h")
+    """Routed through ``dedup.exact_dedup`` (min-id representative per
+    distinct content + n_dupes)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.dedup import exact_dedup
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    reps = exact_dedup(docs, content_col="text", id_col="doc_id")
+    return reps.select(
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_dupes").cast("long").alias("n_dupes"),
+        F.sha2("text", 256).alias("h"),
     )
 
 
@@ -337,29 +353,46 @@ def _q_p6_label_filter(spark, sf):
 
 
 def _q_j4_coalesce_upsert(spark, sf):
-    o = _t(spark, sf, "orders")
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") % 2 == 0)
-    return (
-        o.join(c, o.o_custkey == c.c_custkey, "left")
-        .select(
-            "o_orderkey",
-            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
-        )
+    """J4 routed through ``labeling.upsert_labels``: coalesce-upsert new
+    labels (here: mktsegment of even customers) into an all-NULL tri-state
+    column keyed by (A, B)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.labeling import upsert_labels
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("A"),
+        F.lit("-").alias("B"),
+        F.lit(None).cast("string").alias("match"),
+    )
+    labels = _t(spark, sf, "customer").where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").cast("string").alias("A"),
+        F.lit("-").alias("B"),
+        F.col("c_mktsegment").alias("match"),
+    )
+    out = upsert_labels(o, labels)
+    return out.select(
+        "o_orderkey", F.coalesce(F.col("match"), F.lit("UNKNOWN")).alias("segment")
     )
 
 
 def _q_a3_groups_without(spark, sf):
-    """A3: keep rows of groups with NO accepted member (windowed
-    conditional count == 0)."""
-    from pyspark.sql import Window
-    o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey")
-    acc = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).over(w)
-    return (
-        o.withColumn("_acc", acc)
-        .where(F.col("_acc") == 0)
-        .select("o_orderkey", "o_custkey")
+    """A3 routed through ``sampling.groups_without_matches``: keep rows of
+    groups with NO accepted member. Accepted := status 'F' (label Yes);
+    all other rows are unlabeled with p=0 (< cutoff)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.sampling import groups_without_matches
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("Yes"))
+        .otherwise(F.lit(None).cast("string")).alias("match"),
+        F.lit(0.0).alias("match_probability"),
     )
+    out = groups_without_matches(o, cutoff=0.5, group_cols=["o_custkey"])
+    return out.select("o_orderkey", "o_custkey")
 
 
 def _q_u2_unpivot(spark, sf):
@@ -373,13 +406,15 @@ def _q_u2_unpivot(spark, sf):
 
 
 def _q_m3_logistic_score(spark, sf):
-    """M3: probability scoring as a pure column expression with broadcast
-    (literal) coefficients — 1/(1+exp(-(b0 + b1*x)))."""
+    """M3 routed through ``scoring.LogitModel.score_col``: probability as a
+    pure column expression with broadcast (literal) coefficients."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.scoring import LogitModel
+    model = LogitModel(features=["value"], coef=[-2.0, 0.05])
     ev = _t(spark, sf, "events")
-    z = F.lit(-2.0) + F.lit(0.05) * F.col("value")
-    return ev.select(
-        "event_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p")
-    )
+    return ev.select("event_id", F.round(model.score_col(), 6).alias("p"))
 
 
 def _q_ngram_jaccard_docs(spark, sf):
@@ -420,7 +455,8 @@ def _q_lang_id(spark, sf):
 
 
 def _q_ann_lsh_topk(spark, sf):
-    """LSH-bucketed approximate top-k (hash-specific bucketing: rows-only)."""
+    """Banded multi-table LSH approximate top-k (hash-specific bucketing:
+    rows-only)."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
@@ -430,11 +466,32 @@ def _q_ann_lsh_topk(spark, sf):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_bucketed_topk(emb, queries, k=5, planes=6)
+    out = lsh_bucketed_topk(emb, queries, k=5, tables=4, planes=6)
     return out.select("query_id", "vec_id", "rank")
 
 
+def _perturbed_copy(base, noise_scale: float, seed: int):
+    """Deterministic NEAR-duplicate: add hash-derived zero-mean noise per
+    dimension, then re-normalize (Catalyst-only, parallelism-independent)."""
+    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    noise = F.zip_with(
+        F.col("embedding"), idx,
+        lambda x, i: x + noise_scale * (
+            F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(seed)), F.lit(1000))
+            / 500.0 - 1.0
+        ),
+    )
+    from fuzzylink_spark.operators.similarity_search import l2_normalize_col
+    return base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        l2_normalize_col(noise).alias("embedding"),
+    )
+
+
 def _q_embedding_near_dup(spark, sf):
+    """Plants PERTURBED near-duplicates (cosine ~0.95-0.98, not identical)
+    so the banded-LSH recall is actually exercised; the companion pytest
+    asserts recall >= 0.9 on the same construction."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
@@ -443,13 +500,10 @@ def _q_embedding_near_dup(spark, sf):
     base = _t(spark, sf, "embeddings").select(
         "vec_id", l2_normalize_col("embedding").alias("embedding")
     )
-    # plant exact duplicates (vec_id + 10^6) so recall is observable on the
-    # otherwise-random vectors; every planted pair must be found
-    dups = base.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-    )
+    dups = _perturbed_copy(base.where(F.col("vec_id") % 10 == 0),
+                           noise_scale=0.035, seed=17)
     emb = base.unionByName(dups)
-    return embedding_near_dup_pairs(emb, threshold=0.95, planes=6).select("a", "b")
+    return embedding_near_dup_pairs(emb, threshold=0.9, tables=4, planes=6).select("a", "b")
 
 
 def _q_multimodal_features(spark, sf):
@@ -546,6 +600,61 @@ def _q_connected_components(spark, sf):
     return connected_components(edges)
 
 
+def _q_active_learning(spark, sf):
+    """M6+M7+A4/A5 end-to-end on a deterministic synthetic pair table:
+    seed labels -> active-learning loop (kernel sampling, refit, gradient
+    stop) -> expected-F1 cutoff -> recall search -> accepted pairs.
+
+    The fixture is sharply separable (true pairs sim/jw ~0.9, decoys ~0.2
+    with hash-derived jitter), so the ACCEPTED SET is invariant to which
+    pairs the seeded sampler happens to label — stable across runs and
+    parallelism levels (rows-only check)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.config import LinkConfig
+    from fuzzylink_spark.operators.active import active_learning_loop, recall_search_loop
+    from fuzzylink_spark.operators.cutoff import accepted_matches, expected_f1_cutoff
+    from fuzzylink_spark.operators.labeling import GoldLabeler, upsert_labels
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 60).select(
+        F.lower("c_name").alias("name")
+    )
+    jitter = lambda a, b, s: (F.pmod(F.xxhash64(a, b, F.lit(s)), F.lit(100)) / 1000.0)  # noqa: E731
+    true_p = c.select(
+        F.col("name").alias("A"), F.concat("name", F.lit(" jr")).alias("B"),
+    )
+    true_p = true_p.select(
+        "A", "B",
+        (F.lit(0.85) + jitter("A", "B", 1)).alias("sim"),
+        (F.lit(0.88) + jitter("A", "B", 2)).alias("jw"),
+    )
+    decoys = c.crossJoin(
+        c.select(F.concat("name", F.lit(" jr")).alias("B2"))
+    ).where(F.concat("name", F.lit(" jr")) != F.col("B2")).where(
+        F.pmod(F.xxhash64("name", "B2"), F.lit(10)) < 3
+    ).select(
+        F.col("name").alias("A"), F.col("B2").alias("B"),
+        (F.lit(0.10) + jitter("name", "B2", 1)).alias("sim"),
+        (F.lit(0.15) + jitter("name", "B2", 2)).alias("jw"),
+    )
+    pairs = true_p.unionByName(decoys).withColumn(
+        "match", F.lit(None).cast("string")
+    ).withColumn("block_key", F.lit("__all__"))
+    gold = true_p.select(F.col("A").alias("a_name"), F.col("B").alias("b_name"))
+    labeler = GoldLabeler(gold)
+    # deterministic seed labels: every 5th A (hash-selected), both classes
+    seed = pairs.where(F.pmod(F.xxhash64("A"), F.lit(5)) == 0)
+    pairs = upsert_labels(pairs, labeler.label_pairs(seed))
+    cfg = LinkConfig(by="name", learner="logit", al_batch=50, max_labels=400,
+                     features=["sim", "jw"])
+    scored, _model, _grads = active_learning_loop(pairs, labeler, cfg)
+    cutoff = expected_f1_cutoff(scored, bins=cfg.cutoff_bins)
+    scored = recall_search_loop(scored, labeler, cfg, cutoff)
+    return accepted_matches(scored, cutoff).select("A", "B")
+
+
 def _q_em_mixture(spark, sf):
     import sys
     if _REPO not in sys.path:
@@ -601,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "em_mixture_posterior": _q_em_mixture,
+        "active_learning_accepted": _q_active_learning,
     }
 
 
@@ -633,9 +743,11 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation ON c_nationkey = n_nationkey
         """,
         "a1_counts": """
-            SELECT count(*) AS n_total,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-                   sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_big
             FROM orders
         """,
         "a2_topk_window": """

@@ -22,6 +22,10 @@ class LinkConfig:
     max_labels: int = 10_000              # label budget (R/fuzzylink.R:43)
     embedding_dim: int = 256              # R/fuzzylink.R:39
     seed: int = 42
+    # exact-match short-circuit case handling. The reference compares
+    # case-SENSITIVELY (R/fuzzylink.R:390, R/check_match.R:59-63); True
+    # (default) lowercases first — a deliberate, documented deviation.
+    exact_case_insensitive: bool = True
 
     # --- active learning (R/fuzzylink.R:252-259) ---
     initial_train_n: int = 500            # n_t cap, R/fuzzylink.R:203-204

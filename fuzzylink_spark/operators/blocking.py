@@ -7,15 +7,19 @@ Reference semantics:
 - prune dfB to blocks present in dfA via an inner join on the blocking
   columns, erroring if nothing survives (R/fuzzylink.R:81-86) — J1.
 
-Spark-first: the block-key set is tiny relative to the inputs, so J1 is a
-broadcast LEFT SEMI join — no shuffle of the big side.
+Spark-first: the block-key set is usually tiny relative to the inputs, so
+J1 defaults to a broadcast LEFT SEMI join — guarded by a bounded count so
+a high-cardinality blocking key falls back to a shuffle semi join instead
+of OOMing the driver. The P1 drop count rides an ``observe`` node (free
+with the first full pass over the data — no extra scan at 10^12 rows),
+mirroring the reference's eager warning without its eager count.
 """
 
 from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from fuzzylink_spark.functions.text import norm_key
@@ -24,14 +28,48 @@ log = logging.getLogger(__name__)
 
 
 def drop_incomplete(df: DataFrame, by: str, blocking_keys: list[str],
-                    warn: bool = True) -> DataFrame:
+                    warn: bool = True, name: str = "input") -> DataFrame:
     """P1: NA-drop on by + blocking columns (R/fuzzylink.R:61-70).
 
-    The count warning uses ``observe`` at call sites that need it; here we
-    keep the plan lazy (no eager count at 10^12 scale)."""
+    With ``warn`` (default) an ``Observation`` is attached BEFORE the
+    filter, so the dropped-row count is measured by whichever action first
+    scans the data — no eager count at 10^12 scale. Read it back with
+    ``p1_drop_warning`` after a full-scan action; the observation object is
+    exposed as ``result._p1_observation``.
+    """
     subset = [by, *blocking_keys]
-    out = df.na.drop(subset=subset)
+    if not warn:
+        return df.na.drop(subset=subset)
+    null_any = F.lit(False)
+    for c in subset:
+        null_any = null_any | F.col(c).isNull()
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(null_any.cast("long")).alias("n_dropped"),
+    )
+    out = observed.na.drop(subset=subset)
+    out._p1_observation = obs
+    out._p1_name = name
     return out
+
+
+def p1_drop_warning(df: DataFrame) -> int | None:
+    """Emit the reference's P1 warning ('Dropping N observation(s) with
+    missing values from <name>.', R/fuzzylink.R:61-70) from the observation
+    attached by ``drop_incomplete``. Call ONLY after an action has fully
+    scanned the observed plan (``Observation.get`` blocks until then).
+    Returns the dropped count, or None when no observation is attached."""
+    obs = getattr(df, "_p1_observation", None)
+    if obs is None:
+        return None
+    vals = obs.get
+    n = int(vals.get("n_dropped") or 0)
+    if n > 0:
+        log.warning("Dropping %d observation(s) with missing values from %s.",
+                    n, getattr(df, "_p1_name", "input"))
+    return n
 
 
 def add_block_key(df: DataFrame, blocking_keys: list[str],
@@ -51,9 +89,22 @@ def distinct_blocks(dfA: DataFrame, blocking_keys: list[str]) -> DataFrame:
 
 
 def semi_join_blocks(dfB: DataFrame, blocks: DataFrame,
-                     blocking_keys: list[str]) -> DataFrame:
-    """J1: prune dfB to dfA's block keys — broadcast LEFT SEMI
-    (R/fuzzylink.R:81-86). ``blocks`` is a distinct key set, small by
-    construction, so broadcasting avoids shuffling dfB."""
+                     blocking_keys: list[str],
+                     broadcast_threshold: int = 1_000_000) -> DataFrame:
+    """J1: prune dfB to dfA's block keys (R/fuzzylink.R:81-86).
+
+    ``blocks`` is a distinct key set — usually small, so the default is a
+    broadcast LEFT SEMI join (no shuffle of dfB). A bounded count
+    (``limit(threshold+1).count()`` — never scans past the threshold)
+    guards the broadcast: blocking on a high-cardinality key (e.g. a
+    near-unique column) falls back to a shuffle semi join instead of
+    collecting millions of keys onto the driver."""
     withkey = add_block_key(dfB, blocking_keys)
+    n_bounded = blocks.limit(broadcast_threshold + 1).count()
+    if n_bounded > broadcast_threshold:
+        log.warning(
+            "blocking key set exceeds %d distinct values; using a shuffle "
+            "semi join instead of a broadcast", broadcast_threshold,
+        )
+        return withkey.join(blocks, on="block_key", how="left_semi")
     return withkey.join(F.broadcast(blocks), on="block_key", how="left_semi")

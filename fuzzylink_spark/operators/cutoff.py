@@ -45,6 +45,12 @@ def _f1_frame(df: DataFrame, p_col: str, w_col: str | None,
     Unlabeled rows contribute expectations on their side of the cutoff.
     eqNullSafe everywhere: (NULL == 'Yes') is NULL under three-valued
     logic and a NULL term voids the whole sum contribution.
+
+    Contributions are aggregated per DISTINCT p before the running-sum
+    windows, so ties in p (e.g. the up-to-3 label splits a histogram
+    bucket can carry) always see identical tp/fp/fn — the cutoff argmax
+    is deterministic regardless of tie order. Output: one row per
+    distinct p.
     """
     w = F.col(w_col) if w_col else F.lit(1.0)
     p = F.col(p_col)
@@ -60,6 +66,12 @@ def _f1_frame(df: DataFrame, p_col: str, w_col: str | None,
     fp_c = unl * (1 - p) + is_no
     fn_c = unl * p
 
+    contrib = df.groupBy(p_col).agg(
+        F.sum(tp_c).alias("_tp_c"),
+        F.sum(fp_c).alias("_fp_c"),
+        F.sum(fn_c).alias("_fn_c"),
+        F.sum(is_yes).alias("_yes_c"),
+    )
     asc = Window.orderBy(F.col(p_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
     desc = Window.orderBy(F.col(p_col).desc()).rowsBetween(Window.unboundedPreceding, 0)
     full = Window.orderBy(F.col(p_col)).rowsBetween(
@@ -67,9 +79,10 @@ def _f1_frame(df: DataFrame, p_col: str, w_col: str | None,
     )
 
     out = (
-        df.withColumn("fn", F.coalesce(F.sum(fn_c).over(asc), F.lit(0.0)))
-        .withColumn("tp", F.sum(tp_c).over(desc) + F.sum(is_yes).over(full))
-        .withColumn("fp", F.sum(fp_c).over(desc))
+        contrib.withColumn("fn", F.coalesce(F.sum("_fn_c").over(asc), F.lit(0.0)))
+        .withColumn("tp", F.sum("_tp_c").over(desc) + F.sum("_yes_c").over(full))
+        .withColumn("fp", F.sum("_fp_c").over(desc))
+        .drop("_tp_c", "_fp_c", "_fn_c", "_yes_c")
     )
     precision = F.col("tp") / (F.col("tp") + F.col("fp"))
     recall = F.col("tp") / (F.col("tp") + F.col("fn"))
@@ -99,14 +112,12 @@ def expected_f1_cutoff(
 
     if exact:
         frame = _f1_frame(df, p_col, None, label)
-        half_bucket = 0.0
     else:
         b = F.round(F.col(p_col) * bins) / bins
         grouped = df.withColumn("_pb", b).groupBy(
             "_pb", *( [label] if label else [] )
         ).agg(F.count("*").cast("double").alias("_w"))
         frame = _f1_frame(grouped.withColumnRenamed("_pb", p_col), p_col, "_w", label)
-        half_bucket = 0.5 / bins  # keep the selected bucket accepted under p > cutoff
 
     # tie-break on HIGHEST p, matching the reference's which.max over the
     # desc-sorted frame (R/fuzzylink.R:368-370) — precision-favoring
@@ -117,7 +128,20 @@ def expected_f1_cutoff(
     )
     if best is None or best["expected_f1"] <= 0.0:
         return fallback  # NaN-F1 guard (R/fuzzylink.R:366-370)
-    return float(best[p_col]) - half_bucket
+    best_p = float(best[p_col])
+    # The F1 evaluated at p counts the p-rows as accepted, but the final
+    # filter is strict (p > cutoff, R/fuzzylink.R:472-473) — so return a
+    # cutoff just BELOW the argmax so the optimal set is what's accepted.
+    # (The reference returns the argmax itself, silently excluding its own
+    # optimal row — a deliberate off-by-one improvement here.) Histogram
+    # mode steps down half a bucket; exact mode uses the midpoint to the
+    # next lower distinct probability.
+    if not exact:
+        return best_p - 0.5 / bins
+    prev = frame.where(F.col(p_col) < best_p).agg(F.max(p_col)).first()[0]
+    if prev is None:
+        return best_p - 1e-9  # argmax is the global min: accept everything
+    return (best_p + float(prev)) / 2.0
 
 
 def mutual_best_matches(pairs: DataFrame, p_col: str = "match_probability",

@@ -28,10 +28,19 @@ from pyspark.sql import functions as F
 from fuzzylink_spark.functions.text import initcap_first_word
 
 
-def exact_match_col() -> F.Column:
-    """P7 short-circuit predicate (lowercased equality, matching the
-    reference's tolower comparison at R/check_match.R:59-63)."""
-    return F.lower(F.col("A")) == F.lower(F.col("B"))
+def exact_match_col(case_insensitive: bool = True) -> F.Column:
+    """P7 short-circuit predicate.
+
+    NOTE — deliberate deviation: the reference compares case-SENSITIVELY
+    (R/check_match.R:59-63 ``string1 == string2``; R/fuzzylink.R:390
+    ``df$A == df$B``). We default to lowercased equality because linkage
+    keys differing only by case are matches in every fixture we target;
+    pass ``case_insensitive=False`` (or set
+    ``LinkConfig.exact_case_insensitive=False``) for strict reference
+    parity."""
+    if case_insensitive:
+        return F.lower(F.col("A")) == F.lower(F.col("B"))
+    return F.col("A") == F.col("B")
 
 
 class ExactLabeler:
@@ -83,6 +92,11 @@ class CallbackLabeler:
         rest = asked.where(~exact_match_col())
         rows = rest.collect()  # labeler batches are budget-bounded (max_labels)
         replies = self.fn([(r["A"], r["B"]) for r in rows]) if rows else []
+        if len(replies) != len(rows):
+            raise ValueError(
+                f"labeler callback returned {len(replies)} replies for "
+                f"{len(rows)} pairs; every asked pair needs exactly one reply"
+            )
         rest_labeled = spark.createDataFrame(
             [(r["A"], r["B"], str(rep)) for r, rep in zip(rows, replies)],
             schema="A string, B string, raw string",

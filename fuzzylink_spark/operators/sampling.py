@@ -20,15 +20,19 @@ from pyspark.sql import functions as F
 
 
 def top_k_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
-                    desc: bool = True) -> DataFrame:
-    """A2: slice_max(order_col, n=k) per group (R/fuzzylink.R:209-211)."""
+                    desc: bool = True,
+                    tiebreak_cols: tuple[str, ...] = ("A", "B"),
+                    rank_col: str | None = None) -> DataFrame:
+    """A2: slice_max(order_col, n=k) per group (R/fuzzylink.R:209-211).
+
+    ``tiebreak_cols`` makes the row_number deterministic on ties;
+    ``rank_col`` optionally keeps the within-group rank in the output."""
     order = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    w = Window.partitionBy(group_col).orderBy(order, F.col("A"), F.col("B"))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    ties = [F.col(c).asc() for c in tiebreak_cols if c in df.columns]
+    w = Window.partitionBy(group_col).orderBy(order, *ties)
+    rn = rank_col or "_rn"
+    out = df.withColumn(rn, F.row_number().over(w)).where(F.col(rn) <= k)
+    return out if rank_col else out.drop(rn)
 
 
 def uniform_sample_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:

@@ -35,31 +35,54 @@ from pyspark.sql import functions as F
 
 @dataclass
 class LogitModel:
-    features: list[str]
+    features: list[str]    # column names OR SQL expressions (fmla terms)
     coef: list[float]      # [intercept, b_1..b_k]
 
     def score_col(self):
         """M3: probability as a pure column expression
-        1/(1+exp(-(b0 + b1*f1 + ...))) (R/fuzzylink.R:260-263)."""
+        1/(1+exp(-(b0 + b1*f1 + ...))) (R/fuzzylink.R:260-263).
+
+        Each feature is parsed with ``F.expr``, so fmla-style terms
+        (``sim*jw``, ``pow(sim, 2)``) work exactly like plain columns —
+        the reference's user-supplied ``fmla`` (R/fuzzylink.R:42)."""
         z = F.lit(self.coef[0])
         for b, feat in zip(self.coef[1:], self.features):
-            z = z + F.lit(b) * F.col(feat)
+            z = z + F.lit(b) * F.expr(feat)
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _require_both_classes(counts: dict[str, int]) -> None:
+    """A one-class labeled set produces a degenerate always/never-match
+    calibrator; fail loudly instead (the reference's glm would too)."""
+    missing = [c for c in ("Yes", "No") if counts.get(c, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"labeled subset has no {missing} rows (counts: {counts}); "
+            "a supervised learner needs both classes — provide a labeler/"
+            "oracle, or use learner='em' (unsupervised calibration)"
+        )
 
 
 def fit_logit(labeled: DataFrame, features: list[str],
               label_col: str = "match", max_iter: int = 50,
               tol: float = 1e-8, ridge: float = 1e-6) -> LogitModel:
     """M1: fit logit(match) ~ features on rows with match in {'Yes','No'}
-    (R/fuzzylink.R:235,240-245). Collects ≤ max_labels rows; IRLS in NumPy."""
+    (R/fuzzylink.R:235,240-245). Collects ≤ max_labels rows; IRLS in NumPy.
+    ``features`` entries may be SQL expressions (fmla terms, e.g.
+    ``sim*jw`` — reference R/fuzzylink.R:42)."""
+    fcols = [F.expr(f).alias(f"_f{i}") for i, f in enumerate(features)]
     pdf = (
         labeled.where(F.col(label_col).isin("Yes", "No"))
-        .select(*features, label_col)
+        .select(*fcols, label_col)
         .toPandas()
     )
     if len(pdf) == 0:
         raise ValueError("no labeled rows to fit on")
-    X = np.column_stack([np.ones(len(pdf))] + [pdf[f].to_numpy(float) for f in features])
+    _require_both_classes(pdf[label_col].value_counts().to_dict())
+    X = np.column_stack(
+        [np.ones(len(pdf))]
+        + [pdf[f"_f{i}"].to_numpy(float) for i in range(len(features))]
+    )
     y = (pdf[label_col] == "Yes").to_numpy(float)
     beta = np.zeros(X.shape[1])
     for _ in range(max_iter):
@@ -81,9 +104,23 @@ def fit_logit(labeled: DataFrame, features: list[str],
 # ---------------------------------------------------------------------------
 
 
+def _feature_cols(df: DataFrame, features: list[str]) -> tuple[DataFrame, list[str]]:
+    """Materialize fmla-style feature expressions as temp columns; plain
+    column names pass through untouched (no plan change)."""
+    names, out = [], df
+    for i, f in enumerate(features):
+        if f in df.columns:
+            names.append(f)
+        else:
+            name = f"_fx{i}"
+            out = out.withColumn(name, F.expr(f))
+            names.append(name)
+    return out, names
+
+
 @dataclass
 class RFModel:
-    features: list[str]
+    features: list[str]    # column names or SQL expressions (fmla terms)
     model: object  # pyspark.ml RandomForestClassificationModel
 
     def transform_probability(self, df: DataFrame) -> DataFrame:
@@ -91,36 +128,55 @@ class RFModel:
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.functions import vector_to_array
 
+        withf, names = _feature_cols(df, self.features)
         assembled = VectorAssembler(
-            inputCols=self.features, outputCol="_fv", handleInvalid="keep"
-        ).transform(df)
+            inputCols=names, outputCol="_fv", handleInvalid="keep"
+        ).transform(withf)
         scored = self.model.transform(assembled)
         out = scored.withColumn(
             "match_probability",
             F.element_at(vector_to_array(F.col("probability")), 2),
         )
-        return out.drop("_fv", "rawPrediction", "probability", "prediction")
+        drop = ["_fv", "rawPrediction", "probability", "prediction"]
+        drop += [n for n in names if n.startswith("_fx")]
+        return out.drop(*drop)
 
 
 def fit_rf(labeled: DataFrame, features: list[str], label_col: str = "match",
            num_trees: int = 100, seed: int = 42) -> RFModel:
     """M2: random-forest probability learner on the labeled subset with the
     full lexical feature set (reference ranger(probability=TRUE) on
-    sim+jw+osa+...+soundex, R/fuzzylink.R:233-238)."""
+    sim+jw+osa+...+soundex, R/fuzzylink.R:233-238). ``features`` entries
+    may be SQL expressions (fmla terms, R/fuzzylink.R:42)."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
     train = labeled.where(F.col(label_col).isin("Yes", "No")).withColumn(
         "_label", F.col(label_col).eqNullSafe("Yes").cast("double")
     )
+    counts = {
+        r[label_col]: r["n"]
+        for r in train.groupBy(label_col).agg(F.count("*").alias("n")).collect()
+    }
+    _require_both_classes(counts)
+    train, names = _feature_cols(train, features)
     assembled = VectorAssembler(
-        inputCols=features, outputCol="_fv", handleInvalid="keep"
+        inputCols=names, outputCol="_fv", handleInvalid="keep"
     ).transform(train)
     rf = RandomForestClassifier(
         featuresCol="_fv", labelCol="_label", numTrees=num_trees, seed=seed,
         probabilityCol="probability",
     )
-    return RFModel(features=list(features), model=rf.fit(assembled))
+    fitted = rf.fit(assembled)
+    # Drop the training summary: it holds the SparkSession, and sessions
+    # with registered Observations are not task-serializable (Spark 4.1's
+    # ObservationManager) — scoring would then fail with TaskNotSerializable.
+    try:
+        jvm = labeled.sparkSession._jvm
+        fitted._java_obj.setSummary(jvm.scala.Option.apply(None))
+    except Exception:  # noqa: BLE001 — best-effort; harmless if API shifts
+        pass
+    return RFModel(features=list(features), model=fitted)
 
 
 # ---------------------------------------------------------------------------
@@ -462,12 +518,27 @@ def fit_mixture2d_on_pairs(pairs: DataFrame, fx: str = "sim", fy: str = "jw",
 # ---------------------------------------------------------------------------
 
 
-def with_match_probability(pairs: DataFrame, model) -> DataFrame:
+def with_match_probability(pairs: DataFrame, model,
+                           case_insensitive: bool = True) -> DataFrame:
     """M3 + exact-match override: score all pairs, then force
-    probability 1.0 where A == B (reference R/fuzzylink.R:390-391, the
-    exact-match short-circuit P7). Works with column-expression models
+    probability 1.0 where the keys coincide (reference R/fuzzylink.R:390-391,
+    the exact-match short-circuit P7). Works with column-expression models
     (logit/mixture: broadcast coefficients, zero Python) and transform
-    models (random forest)."""
+    models (random forest).
+
+    The override prefers a precomputed boolean ``exact`` column (the
+    numeric pair IR carries one, avoiding any string compare here); else
+    it compares the key strings. NOTE — deliberate deviation: the
+    reference's override is case-SENSITIVE (R/fuzzylink.R:390
+    ``df$A == df$B``); our default lowercases (see
+    ``labeling.exact_match_col``), controlled by ``case_insensitive`` /
+    ``LinkConfig.exact_case_insensitive``."""
+    if "exact" in pairs.columns:
+        is_exact = F.col("exact")
+    elif case_insensitive:
+        is_exact = F.lower(F.col("A")) == F.lower(F.col("B"))
+    else:
+        is_exact = F.col("A") == F.col("B")
     if hasattr(model, "transform_probability"):
         scored = model.transform_probability(
             pairs.drop("match_probability") if "match_probability" in pairs.columns
@@ -475,11 +546,10 @@ def with_match_probability(pairs: DataFrame, model) -> DataFrame:
         )
         return scored.withColumn(
             "match_probability",
-            F.when(F.lower(F.col("A")) == F.lower(F.col("B")), F.lit(1.0))
-            .otherwise(F.col("match_probability")),
+            F.when(is_exact, F.lit(1.0)).otherwise(F.col("match_probability")),
         )
     p = model.score_col() if isinstance(model, LogitModel) else model.posterior_col()
     return pairs.withColumn(
         "match_probability",
-        F.when(F.lower(F.col("A")) == F.lower(F.col("B")), F.lit(1.0)).otherwise(p),
+        F.when(is_exact, F.lit(1.0)).otherwise(p),
     )

@@ -74,18 +74,37 @@ def build_scored_pairs(
     ckpt = ckpt or CheckpointManager(spark, config.work_dir, config.resume)
     base_fp = fingerprint(config.by, config.blocking_keys, config.embedding_dim,
                           config.encoder_ngrams, config.encoder_seed, config.seed)
+    if config.work_dir:
+        # chain the INPUT identity into every stage fingerprint, so the same
+        # work_dir + config on different data invalidates instead of
+        # silently resuming the previous dataset's stages
+        from fuzzylink_spark.plans.checkpoint import data_fingerprint
 
-    # stage 0-1: NA-drop, block keys, semi-join prune (P1, P3, J1)
-    a = add_block_key(drop_incomplete(dfA, by, blocking), blocking)
-    blocks = distinct_blocks(dfA, blocking)
-    b = semi_join_blocks(drop_incomplete(dfB, by, blocking), blocks, blocking)
+        base_fp = fingerprint(base_fp, data_fingerprint(dfA),
+                              data_fingerprint(dfB))
+
+    # stage 0-1: NA-drop, block keys, semi-join prune (P1, P3, J1).
+    # The P1 drop counts ride observe() nodes (read back after the first
+    # full scan — see below); the existence probe uses an UN-observed plan
+    # because its limit(1) short-circuit would complete the observation
+    # with partial counts.
+    a_src = drop_incomplete(dfA, by, blocking, name="dfA")
+    a = add_block_key(a_src, blocking)
+    blocks = distinct_blocks(dfA, blocking).persist()
+    b_src = drop_incomplete(dfB, by, blocking, name="dfB")
+    b = semi_join_blocks(b_src, blocks, blocking,
+                         broadcast_threshold=config.broadcast_threshold_rows)
     # reference errors when blocking leaves dfB empty (R/fuzzylink.R:81-86);
     # limit(1) keeps the existence check O(first partition) at any scale
-    if blocking and b.limit(1).count() == 0:
-        raise ValueError(
-            "blocking removed every dfB row: no overlap between dfA and dfB "
-            f"on blocking keys {blocking}"
-        )
+    if blocking:
+        probe = semi_join_blocks(
+            drop_incomplete(dfB, by, blocking, warn=False), blocks, blocking,
+            broadcast_threshold=config.broadcast_threshold_rows)
+        if probe.limit(1).count() == 0:
+            raise ValueError(
+                "blocking removed every dfB row: no overlap between dfA and "
+                f"dfB on blocking keys {blocking}"
+            )
 
     # stage 2: distinct keys per side (P2); the deterministic encoder (S4')
     # runs inline inside each GEMM tile, so the embedding *table* is only
@@ -136,6 +155,12 @@ def build_scored_pairs(
         scored = cogrouped_pair_features(uA, uB, encoder=encoder,
                                          pair_budget=config.salt_pair_threshold)
         multi_block_keys = check.result()
+    # the multi-block check fully scanned both sides, so the P1 drop
+    # observations are complete — surface the reference's warning now
+    from fuzzylink_spark.operators.blocking import p1_drop_warning
+
+    p1_drop_warning(a_src)
+    p1_drop_warning(b_src)
     if multi_block_keys > 0:
         scored = scored.dropDuplicates(["A", "B"])
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
@@ -144,9 +169,11 @@ def build_scored_pairs(
         ckpt.write_metrics("block_stats", pair_stats(uA, uB))
 
     # stage 4: labels — exact short-circuit always; oracle seed when given
+    from fuzzylink_spark.operators.labeling import exact_match_col
+
     scored = scored.withColumn(
         "match",
-        F.when(F.lower(F.col("A")) == F.lower(F.col("B")), F.lit("Yes"))
+        F.when(exact_match_col(config.exact_case_insensitive), F.lit("Yes"))
         .otherwise(F.lit(None).cast("string")),
     )
     if labeler is not None:
@@ -170,6 +197,14 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
     blended = pairs.withColumn(
         "score", (F.col("sim") + F.col("jw")) / F.lit(2.0)
     )
+    # "nontrivial" = not an exact match; prefer the numeric IR's precomputed
+    # `exact` flag (no string compare per scan), else compare keys per config
+    if "exact" in blended.columns:
+        nontrivial_pred = ~F.col("exact")
+    elif config.exact_case_insensitive:
+        nontrivial_pred = F.lower(F.col("A")) != F.lower(F.col("B"))
+    else:
+        nontrivial_pred = F.col("A") != F.col("B")
     if config.learner == "rf":
         # the reference's ranger learner uses the full lexical feature set
         # (R/fuzzylink.R:179-186); compute it once here (Arrow batch pass)
@@ -203,13 +238,13 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
         model = fit_logit(blended, config.features)
     elif config.learner == "em1d":
         model = fit_mixture_on_pairs(
-            blended.where(F.lower(F.col("A")) != F.lower(F.col("B"))),
+            blended.where(nontrivial_pred),
             feature="score", bins=config.cutoff_bins,
         )
     else:  # 'em' -> K=3 2-D (sim, jw) mixture, the default offline calibrator
         from fuzzylink_spark.operators.scoring import fit_mixture2d_on_pairs
 
-        nontrivial = blended.where(F.lower(F.col("A")) != F.lower(F.col("B")))
+        nontrivial = blended.where(nontrivial_pred)
         stats = nontrivial.agg(
             F.count("*").alias("n"),
             F.approx_count_distinct("A").alias("na"),
@@ -226,7 +261,8 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
             hint = min(stats["na"], stats["nb"]) / stats["n"]
             model = fit_mixture2d_on_pairs(nontrivial, fx="sim", fy="jw",
                                            prevalence_hint=hint)
-    return with_match_probability(blended, model), model
+    return with_match_probability(
+        blended, model, case_insensitive=config.exact_case_insensitive), model
 
 
 def assemble(dfA: DataFrame, dfB: DataFrame, accepted: DataFrame,

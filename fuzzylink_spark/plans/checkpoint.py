@@ -32,6 +32,22 @@ def fingerprint(*parts) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def data_fingerprint(df: DataFrame) -> str:
+    """Cheap input-identity fingerprint: source files + schema when the
+    DataFrame is file-backed (pure metadata, no scan), else schema + count.
+
+    Chained into the stage fingerprints so re-running the same config and
+    work_dir against DIFFERENT inputs invalidates the checkpoints instead
+    of silently resuming the previous dataset's stages. Not bulletproof —
+    two filters of the same files with equal row counts collide — so a
+    work_dir should still be unique per logical input."""
+    files = sorted(df.inputFiles())
+    schema = df.schema.simpleString()
+    if files:
+        return fingerprint("files", schema, files, df.count())
+    return fingerprint("counted", schema, df.count())
+
+
 @dataclass
 class CheckpointManager:
     spark: SparkSession
