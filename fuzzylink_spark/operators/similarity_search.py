@@ -96,8 +96,53 @@ def brute_force_topk(
 
 
 # ---------------------------------------------------------------------------
-# IVF / LSH-bucketed ANN
+# IVF / LSH-bucketed ANN — banded multi-table sign-LSH
 # ---------------------------------------------------------------------------
+#
+# Single-table sign-LSH recall collapses multiplicatively: at cosine 0.95 a
+# pair agrees on one random hyperplane w.p. 1 - theta/pi ~ 0.899, so 12
+# planes in ONE bucket give recall ~0.28. Banding fixes it exactly like
+# MinHash-LSH banding: T independent tables of r planes each — a pair is a
+# candidate if it collides in ANY table. Recall = 1 - (1 - p^r)^T; the
+# default 4 tables x 6 planes gives ~0.95 recall at cosine 0.95 (and ~0.98
+# at 0.97) while keeping buckets selective (2^6 per table).
+
+
+def lsh_table_buckets_udf(tables: int = 4, planes: int = 6, seed: int = 99):
+    """Series→Series pandas UDF: embedding -> array<long> of ``tables``
+    bucket ids. One NumPy GEMM per Arrow batch against a deterministic
+    (seeded) Gaussian hyperplane matrix; the table index is mixed into the
+    bucket id so tables never share bucket space. The hyperplane matrix is
+    built lazily per vector dimension — identical on every executor."""
+    state: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.tolist(), dtype=np.float32)
+        if M.ndim != 2 or M.shape[0] == 0:
+            return pd.Series([[]] * len(vecs))
+        d = M.shape[1]
+        H = state.get(d)
+        if H is None:
+            H = np.random.default_rng(seed).standard_normal(
+                (d, tables * planes)
+            ).astype(np.float32)
+            state[d] = H
+        signs = (M @ H) > 0
+        signs = signs.reshape(len(M), tables, planes)
+        weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+        buckets = (signs * weights[None, None, :]).sum(axis=2, dtype=np.int64)
+        buckets += np.arange(tables, dtype=np.int64)[None, :] << np.int64(planes)
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
+def _with_buckets(df: DataFrame, vec_col: str, tables: int, planes: int,
+                  seed: int) -> DataFrame:
+    """Explode a vector table to one row per (row, table) with ``_bucket``."""
+    udf = lsh_table_buckets_udf(tables, planes, seed)
+    return df.withColumn("_bucket", F.explode(udf(F.col(vec_col))))
 
 
 def signed_projection_bucket(vec_col: str, planes: int = 8, seed: int = 99) -> F.Column:
@@ -127,27 +172,34 @@ def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    planes: int = 8,
+    tables: int = 4,
+    planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 99,
 ) -> DataFrame:
-    """ANN top-k: bucket corpus + queries by signed projections, equi-join
-    on bucket, exact cosine inside the bucket, windowed top-k.
+    """ANN top-k: band corpus + queries into ``tables`` sign-LSH tables of
+    ``planes`` planes, equi-join on bucket (candidates = collision in ANY
+    table), exact cosine on the deduped candidates, windowed top-k.
 
-    Recall < 1 by construction (single-probe); raise recall with fewer
-    planes or by probing neighbor buckets. The join is an equi join on
-    bucket — the 100 TB plan is scan + shuffle-on-bucket, never all-pairs.
+    Expected recall at cosine s is 1-(1-p^planes)^tables with
+    p = 1 - arccos(s)/pi (defaults: ~0.95 at s=0.95). The join is an equi
+    join on bucket — the 100 TB plan is scan + shuffle-on-bucket, never
+    all-pairs; raising ``tables`` buys recall linearly in scan cost.
     """
-    cb = corpus.withColumn("_bucket", signed_projection_bucket(vec_col, planes, seed))
-    qb = queries.withColumn("_bucket", signed_projection_bucket(vec_col, planes, seed))
+    cb = _with_buckets(corpus, vec_col, tables, planes, seed)
+    qb = _with_buckets(queries, vec_col, tables, planes, seed)
     qside = qb.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         "_bucket",
     )
-    joined = cb.join(F.broadcast(qside), "_bucket")
+    # dedupe (query, candidate) across tables BEFORE the dot product so a
+    # multi-table collision is scored once
+    joined = cb.join(F.broadcast(qside), "_bucket").dropDuplicates(
+        ["query_id", id_col]
+    )
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("_qvec"), lambda x, y: x * y),
         F.lit(0.0),
@@ -166,26 +218,43 @@ def lsh_bucketed_topk(
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
-    planes: int = 12,
+    tables: int = 4,
+    planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 99,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join:
-    DataFrame[a, b, score] with cosine >= threshold (single-probe recall)."""
-    b = vectors.withColumn("_bucket", signed_projection_bucket(vec_col, planes, seed))
-    left = b.select("_bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    right = b.select("_bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    """Embedding-cosine near-duplicate pairs via banded multi-table LSH
+    self-join: DataFrame[a, b, score] with cosine >= threshold.
+
+    Candidates collide in ANY of the ``tables`` tables (recall
+    1-(1-p^planes)^tables, ~0.95 at cosine 0.95 with the defaults), are
+    deduped across tables, then exact-verified with one dot product per
+    pair (two hash joins against the vector table). Oversized buckets
+    (degenerate directions) are dropped, bounded by ``max_bucket``."""
+    b = _with_buckets(vectors.select(id_col, vec_col), vec_col, tables,
+                      planes, seed)
+    sizes = b.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    b = b.join(sizes.where(F.col("_n") <= max_bucket), "_bucket")
+    left = b.select("_bucket", F.col(id_col).alias("a"))
+    right = b.select("_bucket", F.col(id_col).alias("b"))
+    cand = (
+        left.join(right, "_bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     dot = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     return (
-        left.join(right, "_bucket")
-        .where(F.col("a") < F.col("b"))
+        cand.join(va, "a").join(vb, "b")
         .withColumn("score", dot)
         .where(F.col("score") >= threshold)
         .select("a", "b", "score")
-        .distinct()
     )

@@ -67,7 +67,13 @@ def make_link_batch_fn(
         drop_incomplete(static_side, config.by, config.blocking_keys),
         config.blocking_keys,
     )
-    uA = unique_keys_per_block(a, config.by)
+    # Materialize the static side ONCE: without this, every micro-batch
+    # re-evaluates the lazy plan (full scan + distinct shuffle of the
+    # entity table per batch). persist + eager count pins it in cache for
+    # the lifetime of the stream; at cluster scale swap for a parquet
+    # checkpoint if the entity table exceeds cluster memory.
+    uA = unique_keys_per_block(a, config.by).persist()
+    uA.count()
 
     from fuzzylink_spark.functions.vectors import embed_strings
 

@@ -182,3 +182,60 @@ def test_frame_sample_plan(spark):
     assert plan.select("media_id").distinct().count() == vids
     one = plan.groupBy("media_id").count().first()
     assert one["count"] >= 2
+
+
+def test_banded_lsh_near_dup_recall(spark):
+    """Banded multi-table sign-LSH must recover >= 90% of PERTURBED
+    near-duplicates (cosine ~0.95, not identical vectors) — the round-1
+    single-probe design measured ~0.28 theoretical recall here."""
+    rng = np.random.default_rng(7)
+    n, d = 300, 64
+    base = rng.standard_normal((n, d)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.standard_normal((n, d))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    eps = 0.33  # cos = 1/sqrt(1+eps^2) ~ 0.95
+    dup = base + eps * noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    rows += [(i + 10_000, [float(x) for x in dup[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"])
+           for r in embedding_near_dup_pairs(df, threshold=0.9,
+                                             tables=4, planes=6).collect()}
+    planted = {(i, i + 10_000) for i in range(n)}
+    # only count planted pairs that really are above the verify threshold
+    truly_above = {
+        (i, i + 10_000) for i in range(n)
+        if float(base[i] @ dup[i]) >= 0.9
+    }
+    recall = len(got & truly_above) / len(truly_above)
+    assert recall >= 0.9, recall
+    # verification step: nothing below the threshold sneaks through
+    assert all(
+        (a, b) in planted or abs(a - b) != 10_000 for a, b in got
+    )
+
+
+def test_lsh_topk_perturbed_neighbor_recall(spark):
+    """ANN top-k: a perturbed query (cosine ~0.95 to its source) must find
+    its source in the top-k for >= 90% of queries."""
+    rng = np.random.default_rng(11)
+    n, d, nq = 400, 64, 40
+    corpus = rng.standard_normal((n, d))
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    noise = rng.standard_normal((nq, d))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    q = corpus[:nq] + 0.33 * noise
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q[i]]) for i in range(nq)],
+        "query_id long, embedding array<double>",
+    )
+    out = lsh_bucketed_topk(cdf, qdf, k=5, tables=4, planes=6)
+    hits = {r["query_id"] for r in out.collect() if r["vec_id"] == r["query_id"]}
+    assert len(hits) / nq >= 0.9, len(hits) / nq

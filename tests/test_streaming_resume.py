@@ -96,3 +96,30 @@ def test_lineage_table_written(spark, tmp_path):
     stages = {r["stage"] for r in lineage.collect()}
     assert "pairs" in stages and "embeddings" in stages
     assert lineage.where("wall_s < 0").count() == 0
+
+
+def test_stream_static_side_scanned_once(spark, tmp_path):
+    """The static (entity) side must be materialized once, not re-scanned
+    per micro-batch (round-1 verdict): an accumulator inside a mapInPandas
+    wrapper over the static side counts physical scans across two batches."""
+    from fuzzylink_spark.streaming.incremental import make_link_batch_fn
+
+    dfa, dfb, _gold = presidents(spark)
+    n_static = dfb.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    static = dfb.mapInPandas(counting, schema=dfb.schema)
+    cfg = LinkConfig(by="name", blocking_keys=["state"])
+    model = LogitModel(features=["sim", "jw"], coef=[-10.0, 6.0, 8.0])
+    batch_fn = make_link_batch_fn(static, cfg, model, cutoff=0.5,
+                                  sink_fn=lambda bid, df: df.count())
+    after_setup = acc.value
+    assert after_setup == n_static  # eager persist scanned it exactly once
+    batch_fn(dfa, 0)
+    batch_fn(dfa, 1)
+    assert acc.value == n_static  # two batches: zero additional scans
