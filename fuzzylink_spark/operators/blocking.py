@@ -94,13 +94,15 @@ def semi_join_blocks(dfB: DataFrame, blocks: DataFrame,
     """J1: prune dfB to dfA's block keys (R/fuzzylink.R:81-86).
 
     ``blocks`` is a distinct key set — usually small, so the default is a
-    broadcast LEFT SEMI join (no shuffle of dfB). A bounded count
-    (``limit(threshold+1).count()`` — never scans past the threshold)
-    guards the broadcast: blocking on a high-cardinality key (e.g. a
-    near-unique column) falls back to a shuffle semi join instead of
-    collecting millions of keys onto the driver."""
+    broadcast LEFT SEMI join (no shuffle of dfB). A count of the distinct
+    set (one aggregate over the already-deduped keys; a plain count, NOT
+    limit(n).count(), whose incremental-partition execution is slower than
+    the full aggregate) guards the broadcast: blocking on a
+    high-cardinality key (e.g. a near-unique column) falls back to a
+    shuffle semi join instead of collecting millions of keys onto the
+    driver."""
     withkey = add_block_key(dfB, blocking_keys)
-    n_bounded = blocks.limit(broadcast_threshold + 1).count()
+    n_bounded = blocks.count()
     if n_bounded > broadcast_threshold:
         log.warning(
             "blocking key set exceeds %d distinct values; using a shuffle "

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,13 +60,29 @@ def score_pairs(pairs_with_emb: DataFrame, full_features: bool = False) -> DataF
 
 # ---------------------------------------------------------------------------
 # cogrouped per-block GEMM (the production hot path)
+#
+# The melt IR is NUMERIC: (block_id, a_id, b_id, sim, jw, exact) — ids are
+# xxhash64 of the key strings, computed in Catalyst on the O(n) sides
+# before the cogroup. The O(n^2) melted pair rows therefore carry five
+# fixed-width columns instead of three strings, which cuts the dominant
+# Arrow-serialize + JVM row-decode cost (round-1 measured 15-20 core-µs/
+# pair on string melt vs ~8 µs of kernel work) AND every downstream
+# shuffle/persist of the pair table. Strings rejoin via the (small)
+# distinct-key dictionary only where a consumer needs them
+# (``attach_pair_strings``). 64-bit id collisions merge two keys with
+# probability ~n^2/2^65 — negligible below ~10^9 distinct keys per run.
 # ---------------------------------------------------------------------------
 
+PAIR_IR_SCHEMA = ("block_id long, a_id long, b_id long, "
+                  "sim double, jw double, exact boolean")
 
 _EMPTY_MELT = pd.DataFrame(
-    {"block_key": pd.Series([], dtype="str"), "A": pd.Series([], dtype="str"),
-     "B": pd.Series([], dtype="str"), "sim": pd.Series([], dtype="float64"),
-     "jw": pd.Series([], dtype="float64")}
+    {"block_id": pd.Series([], dtype="int64"),
+     "a_id": pd.Series([], dtype="int64"),
+     "b_id": pd.Series([], dtype="int64"),
+     "sim": pd.Series([], dtype="float64"),
+     "jw": pd.Series([], dtype="float64"),
+     "exact": pd.Series([], dtype="bool")}
 )
 
 
@@ -81,7 +96,9 @@ def _gemm_melt_factory(encoder=None):
         """One (block, sa, sb) tile: GEMM over the two unique-key embedding
         sets, melt to long pairs, batched JW — one Arrow batch end to end.
         This IS the reference's per-block dense matrix + melt
-        (R/fuzzylink.R:113-172) without ever shuffling per-pair vectors."""
+        (R/fuzzylink.R:113-172) without ever shuffling per-pair vectors;
+        the melt emits int ids (computed upstream in Catalyst), never the
+        strings themselves."""
         if len(a_pdf) == 0 or len(b_pdf) == 0:
             return _EMPTY_MELT
         a_keys = a_pdf["key"].tolist()
@@ -97,22 +114,19 @@ def _gemm_melt_factory(encoder=None):
         a_low = [k.lower() for k in a_keys]
         b_low = [k.lower() for k in b_keys]
         jw = jaro_winkler_cross(a_low, b_low).ravel()
-        # Arrow-native melt: take() on dictionary indices instead of
-        # repeating Python string objects — ~3x faster tile construction
-        # and a zero-copy hop back through the Arrow serializer
-        n = na * nb
-        a_col = pa.array(a_keys).take(pa.array(np.repeat(np.arange(na), nb)))
-        b_col = pa.array(b_keys).take(pa.array(np.tile(np.arange(nb), na)))
-        bk_col = pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(n, dtype=np.int32)), pa.array([key[0]])
-        ).cast(pa.string())
+        a_rep = np.repeat(a_pdf["id"].to_numpy(np.int64), nb)
+        b_rep = np.tile(b_pdf["id"].to_numpy(np.int64), na)
+        exact = np.repeat(a_pdf["ci"].to_numpy(np.int64), nb) == np.tile(
+            b_pdf["ci"].to_numpy(np.int64), na
+        )
         return pd.DataFrame(
             {
-                "block_key": pd.arrays.ArrowExtensionArray(bk_col),
-                "A": pd.arrays.ArrowExtensionArray(a_col),
-                "B": pd.arrays.ArrowExtensionArray(b_col),
+                "block_id": np.full(na * nb, key[0], dtype=np.int64),
+                "a_id": a_rep,
+                "b_id": b_rep,
                 "sim": sims,
                 "jw": jw,
+                "exact": exact,
             }
         )
 
@@ -120,25 +134,34 @@ def _gemm_melt_factory(encoder=None):
 
 
 def _salted_side(u: DataFrame, emb: DataFrame | None, block_k: DataFrame,
-                 own: str, other: str) -> DataFrame:
-    """Attach 2-D tile coordinates (and, on the external-embedding path,
-    the vectors) to one distinct-key side.
+                 own: str, other: str, case_insensitive: bool = True) -> DataFrame:
+    """Attach int ids + 2-D tile coordinates (and, on the external-
+    embedding path, the vectors) to one distinct-key side.
 
     ``block_k`` maps block_key -> (ka, kb): the within-block pair matrix is
     tiled ka × kb (blocked-GEMM style). Each side hashes into its own
     coordinate and replicates across the other's — so replication is
     O(sqrt(cells)) per side instead of O(cells) on one side, which keeps
-    the shuffled volume near-minimal for any block size."""
+    the shuffled volume near-minimal for any block size.
+
+    Ids computed here (Catalyst, O(n) side rows — never per pair):
+    ``block_id``/``id`` = xxhash64 of block key / key; ``ci`` = xxhash64 of
+    the lowercased key, so the kernel's exact-match flag is an int compare
+    (case-sensitive mode hashes the raw key, reference parity)."""
     side = u.join(emb, "key") if emb is not None else u
     flagged = side.join(F.broadcast(block_k), "block_key", "left").na.fill(
         {"ka": 1, "kb": 1}
     )
+    ci = F.xxhash64(F.lower(F.col("key"))) if case_insensitive else F.xxhash64(F.col("key"))
     own_salt = F.pmod(F.xxhash64(F.col("key")), F.col(own)).cast("int")
     return (
-        flagged.withColumn("_own", own_salt)
+        flagged.withColumn("block_id", F.xxhash64(F.col("block_key")))
+        .withColumn("id", F.xxhash64(F.col("key")))
+        .withColumn("ci", ci)
+        .withColumn("_own", own_salt)
         .withColumn("_other_raw", F.explode(F.sequence(F.lit(0), F.col(other) - 1)))
         .withColumn("_other", F.col("_other_raw").cast("int"))
-        .drop("ka", "kb", "_other_raw")
+        .drop("ka", "kb", "_other_raw", "block_key")
     )
 
 
@@ -175,16 +198,20 @@ def cogrouped_pair_features(
     encoder=None,
     pair_budget: int = 250_000,
     max_salt: int = 4096,
+    case_insensitive: bool = True,
 ) -> DataFrame:
-    """Candidate generation + cosine + JW in ONE cogrouped Arrow pass.
+    """Candidate generation + cosine + JW in ONE cogrouped Arrow pass,
+    emitting the NUMERIC pair IR (block_id, a_id, b_id, sim, jw, exact).
 
     Inputs are distinct (block_key, key) sides, plus either ``encoder``
     (deterministic local encoder: keys are embedded inside each tile, so
     the shuffle moves only strings) or ``emb`` (external embedding table,
     joined on and shuffled with the sides). Pairs and their features are
     *born* inside the per-(block, sa, sb) GEMM tile — shuffle volume never
-    includes a per-pair vector. Every block is adaptively 2-D tiled so no
-    tile exceeds ``pair_budget`` pairs: uniform tasks, bounded memory.
+    includes a per-pair vector, and the melted O(n^2) rows never include a
+    string (join them back with ``attach_pair_strings`` where needed).
+    Every block is adaptively 2-D tiled so no tile exceeds ``pair_budget``
+    pairs: uniform tasks, bounded memory.
     """
     if emb is None and encoder is None:
         raise ValueError("need an encoder or an embedding table")
@@ -206,21 +233,55 @@ def cogrouped_pair_features(
     row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
     total_cells = int(row["c"] or 1)
     sc = uA.sparkSession.sparkContext
-    n_part = int(min(max(sc.defaultParallelism * 2, total_cells // 2 + 1), 65536))
+    # 4 partition slots per tile: tiles are seconds of kernel compute, so
+    # two tiles hash-colliding into one partition creates a straggler that
+    # caps scaling (measured: 99 tiles in 64 partitions left 32 cores ~40%
+    # idle). Extra empty partitions cost only empty-task launches.
+    n_part = int(min(max(sc.defaultParallelism * 2, total_cells * 4), 65536))
 
     # A side: own coordinate = row tile (ka), replicate across column tiles
-    a = _salted_side(_fresh(uA), _fresh(emb_used), _fresh(block_k), own="ka", other="kb")
+    a = _salted_side(_fresh(uA), _fresh(emb_used), _fresh(block_k), own="ka",
+                     other="kb", case_insensitive=case_insensitive)
     a = a.withColumnRenamed("_own", "sa").withColumnRenamed("_other", "sb")
-    a = a.repartition(n_part, "block_key", "sa", "sb")
+    a = a.repartition(n_part, "block_id", "sa", "sb")
     # B side: own coordinate = column tile (kb), replicate across row tiles
-    b = _salted_side(_fresh(uB), _fresh(emb_used), _fresh(block_k), own="kb", other="ka")
+    b = _salted_side(_fresh(uB), _fresh(emb_used), _fresh(block_k), own="kb",
+                     other="ka", case_insensitive=case_insensitive)
     b = b.withColumnRenamed("_own", "sb").withColumnRenamed("_other", "sa")
-    b = b.repartition(n_part, "block_key", "sa", "sb")
+    b = b.repartition(n_part, "block_id", "sa", "sb")
     return (
-        a.groupby("block_key", "sa", "sb")
-        .cogroup(b.groupby("block_key", "sa", "sb"))
-        .applyInPandas(
-            _gemm_melt_factory(encoder),
-            schema="block_key string, A string, B string, sim double, jw double",
-        )
+        a.groupby("block_id", "sa", "sb")
+        .cogroup(b.groupby("block_id", "sa", "sb"))
+        .applyInPandas(_gemm_melt_factory(encoder), schema=PAIR_IR_SCHEMA)
     )
+
+
+def pair_dictionaries(uA: DataFrame, uB: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(key_dict, block_dict): the id -> string dictionaries for the pair
+    IR, built from the distinct sides (O(distinct keys), tiny relative to
+    the O(n^2) pair table)."""
+    keys = uA.select("key").unionByName(uB.select("key")).distinct()
+    key_dict = keys.select(F.xxhash64("key").alias("id"), "key")
+    blocks = uA.select("block_key").unionByName(uB.select("block_key")).distinct()
+    block_dict = blocks.select(
+        F.xxhash64("block_key").alias("block_id"), "block_key"
+    )
+    return key_dict, block_dict
+
+
+def attach_pair_strings(pairs: DataFrame, key_dict: DataFrame,
+                        block_dict: DataFrame | None = None) -> DataFrame:
+    """Join A/B key strings (and block_key) back onto the numeric pair IR.
+
+    The dictionaries are the DISTINCT key sets — orders of magnitude
+    smaller than the pair table — so AQE turns these into broadcast hash
+    joins whenever they fit (no hint: at extreme key cardinality it
+    falls back to a shuffle join instead of OOMing the driver). Column
+    pruning drops the string columns from any downstream consumer that
+    doesn't project them."""
+    ka = key_dict.select(F.col("id").alias("a_id"), F.col("key").alias("A"))
+    kb = key_dict.select(F.col("id").alias("b_id"), F.col("key").alias("B"))
+    out = pairs.join(ka, "a_id", "left").join(kb, "b_id", "left")
+    if block_dict is not None:
+        out = out.join(F.broadcast(block_dict), "block_id", "left")
+    return out

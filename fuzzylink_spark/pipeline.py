@@ -67,9 +67,17 @@ def build_scored_pairs(
     config: LinkConfig,
     ckpt: CheckpointManager | None = None,
     labeler=None,
+    attach_strings: bool = True,
 ) -> DataFrame:
     """Stages 0-4: from raw inputs to the labeled, feature-complete pair
-    table ``(A, B, block_key, sim, jw, match)``."""
+    table.
+
+    The internal IR is NUMERIC — (block_id, a_id, b_id, sim, jw, exact,
+    match) — so the melt, dedup shuffle, and checkpoint never carry pair
+    strings. With ``attach_strings`` (default) the key/block dictionaries
+    are joined back at the end, yielding the public
+    ``(A, B, block_key, sim, jw, exact, match, ...)`` schema; pass False
+    for the pure IR (production path: strings rejoin only at assemble)."""
     by, blocking = config.by, config.blocking_keys
     ckpt = ckpt or CheckpointManager(spark, config.work_dir, config.resume)
     base_fp = fingerprint(config.by, config.blocking_keys, config.embedding_dim,
@@ -94,17 +102,6 @@ def build_scored_pairs(
     b_src = drop_incomplete(dfB, by, blocking, name="dfB")
     b = semi_join_blocks(b_src, blocks, blocking,
                          broadcast_threshold=config.broadcast_threshold_rows)
-    # reference errors when blocking leaves dfB empty (R/fuzzylink.R:81-86);
-    # limit(1) keeps the existence check O(first partition) at any scale
-    if blocking:
-        probe = semi_join_blocks(
-            drop_incomplete(dfB, by, blocking, warn=False), blocks, blocking,
-            broadcast_threshold=config.broadcast_threshold_rows)
-        if probe.limit(1).count() == 0:
-            raise ValueError(
-                "blocking removed every dfB row: no overlap between dfA and "
-                f"dfB on blocking keys {blocking}"
-            )
 
     # stage 2: distinct keys per side (P2); the deterministic encoder (S4')
     # runs inline inside each GEMM tile, so the embedding *table* is only
@@ -136,46 +133,88 @@ def build_scored_pairs(
         return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
 
     # P4 pairwise distinct (R/fuzzylink.R:189-190): a (A,B) pair can repeat
-    # only when some key occurs under >1 block key — check that cheaply on
-    # the (persisted) distinct-key sides. Runs in a worker thread so its
-    # job overlaps the tile-plan job inside cogrouped_pair_features (Spark
-    # schedules concurrent jobs from separate threads).
-    def _multi_block() -> int:
-        return (
-            uA.select("block_key", "key").union(uB.select("block_key", "key"))
-            .groupBy("key")
-            .agg(F.countDistinct("block_key").alias("nb"))
-            .where(F.col("nb") > 1)
-            .limit(1)
-            .count()
-        )
+    # only when some key occurs under >1 block key — find those keys
+    # cheaply on the (persisted) distinct-key sides. Runs in a worker
+    # thread so its job overlaps the tile-plan job inside
+    # cogrouped_pair_features (Spark schedules concurrent jobs from
+    # separate threads).
+    multi_keys = (
+        uA.select("block_key", "key").union(uB.select("block_key", "key"))
+        .groupBy("key")
+        .agg(F.countDistinct("block_key").alias("nb"))
+        .where(F.col("nb") > 1)
+        .select("key")
+    )
 
     with _fut.ThreadPoolExecutor(max_workers=1) as ex:
-        check = ex.submit(_multi_block)
-        scored = cogrouped_pair_features(uA, uB, encoder=encoder,
-                                         pair_budget=config.salt_pair_threshold)
-        multi_block_keys = check.result()
+        check = ex.submit(multi_keys.count)
+        scored = cogrouped_pair_features(
+            uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
+            case_insensitive=config.exact_case_insensitive)
+        n_multi = check.result()
     # the multi-block check fully scanned both sides, so the P1 drop
     # observations are complete — surface the reference's warning now
     from fuzzylink_spark.operators.blocking import p1_drop_warning
 
     p1_drop_warning(a_src)
     p1_drop_warning(b_src)
-    if multi_block_keys > 0:
-        scored = scored.dropDuplicates(["A", "B"])
+    # reference errors when blocking leaves dfB empty (R/fuzzylink.R:81-86).
+    # uB is persisted and was just scanned by the checks above, so this
+    # existence probe is cache-hit cheap — no extra scan of dfB
+    if blocking and uB.limit(1).count() == 0:
+        raise ValueError(
+            "blocking removed every dfB row: no overlap between dfA and dfB "
+            f"on blocking keys {blocking}"
+        )
+    if 0 < n_multi <= 100_000:
+        # P4 pairwise distinct WITHOUT shuffling the pair table: a pair
+        # duplicates only when BOTH keys share >= 2 blocks, so the exact
+        # removal list — (block_id, a_id, b_id) of every non-minimal
+        # common block — is computable from the tiny multi-key slices of
+        # the SIDES. A broadcast LEFT ANTI join then drops the duplicate
+        # rows map-side (measured: ~7 s of 24M-row dedup shuffle replaced
+        # by a sub-second broadcast of a few-thousand-row list).
+        from pyspark.sql import Window
+
+        mka = uA.join(F.broadcast(multi_keys), "key", "left_semi").select(
+            F.xxhash64("block_key").alias("block_id"),
+            F.xxhash64("key").alias("a_id"),
+        )
+        mkb = uB.join(F.broadcast(multi_keys), "key", "left_semi").select(
+            F.xxhash64("block_key").alias("block_id"),
+            F.xxhash64("key").alias("b_id"),
+        )
+        w = Window.partitionBy("a_id", "b_id").orderBy("block_id")
+        removal = (
+            mka.join(mkb, "block_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select("block_id", "a_id", "b_id")
+        )
+        scored = scored.join(F.broadcast(removal),
+                             ["block_id", "a_id", "b_id"], "left_anti")
+    elif n_multi > 0:
+        # degenerate blocking (multi-key set too large to broadcast):
+        # global dedup on the int ids — a fixed-width shuffle, never a
+        # string shuffle
+        scored = scored.dropDuplicates(["a_id", "b_id"])
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
-                              repartition_cols=["block_key"])
+                              repartition_cols=["block_id"])
     if config.work_dir:
         ckpt.write_metrics("block_stats", pair_stats(uA, uB))
 
-    # stage 4: labels — exact short-circuit always; oracle seed when given
-    from fuzzylink_spark.operators.labeling import exact_match_col
-
+    # stage 4: labels — exact short-circuit always (the kernel's `exact`
+    # flag, an int compare of key hashes per config case mode); oracle
+    # seed when given
     scored = scored.withColumn(
         "match",
-        F.when(exact_match_col(config.exact_case_insensitive), F.lit("Yes"))
-        .otherwise(F.lit(None).cast("string")),
+        F.when(F.col("exact"), F.lit("Yes")).otherwise(F.lit(None).cast("string")),
     )
+    if attach_strings or labeler is not None:
+        from fuzzylink_spark.operators.features import attach_pair_strings, pair_dictionaries
+
+        key_dict, block_dict = pair_dictionaries(uA, uB)
+        scored = attach_pair_strings(scored, key_dict, block_dict)
     if labeler is not None:
         k = max(config.initial_train_n // max(uA.count(), 1), 1)
         seed_pairs = top_k_per_group(scored, "A", "sim", k)
@@ -247,8 +286,8 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
         nontrivial = blended.where(nontrivial_pred)
         stats = nontrivial.agg(
             F.count("*").alias("n"),
-            F.approx_count_distinct("A").alias("na"),
-            F.approx_count_distinct("B").alias("nb"),
+            F.approx_count_distinct("a_id" if "a_id" in blended.columns else "A").alias("na"),
+            F.approx_count_distinct("b_id" if "b_id" in blended.columns else "B").alias("nb"),
         ).first()
         if stats["n"] == 0:
             # nothing to calibrate on (e.g. single-record input): only the

@@ -92,13 +92,19 @@ def make_link_batch_fn(
         )
         uB = unique_keys_per_block(b, config.by)
         pairs = cogrouped_pair_features(
-            uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold
+            uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
+            case_insensitive=config.exact_case_insensitive,
         )
         scored = with_match_probability(
             pairs.withColumn("score", (F.col("sim") + F.col("jw")) / 2.0), model
         )
+        # filter on the numeric IR FIRST, then join strings back onto the
+        # (small) accepted set only
         matches = accepted_matches(scored, cutoff, label_col="__none__")
-        sink_fn(batch_id, matches)
+        from fuzzylink_spark.operators.features import attach_pair_strings, pair_dictionaries
+
+        key_dict, block_dict = pair_dictionaries(uA, uB)
+        sink_fn(batch_id, attach_pair_strings(matches, key_dict, block_dict))
 
     return process_batch
 
