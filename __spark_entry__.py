@@ -655,6 +655,28 @@ def _q_active_learning(spark, sf):
     return accepted_matches(scored, cutoff).select("A", "B")
 
 
+def _q_twopass_accepted(spark, sf):
+    """Two-pass linkage (pass 1: bounded (sim, jw) histogram -> driver EM
+    + cutoff; pass 2: in-kernel accept filter — the full pair table never
+    materializes). Rows-only: the accepted pair set."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.config import LinkConfig
+    from fuzzylink_spark.pipeline import fuzzylink_twopass
+
+    docs = _t(spark, sf, "documents")
+    key = F.substring(F.col("text"), 1, 48).alias("name")
+    side = F.pmod(F.xxhash64("source"), F.lit(2))
+    dfa = docs.where(side == 0).select(key, "lang", "doc_id")
+    dfb = docs.where(side == 1).select(key, "lang", "doc_id")
+    cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128)
+    res = fuzzylink_twopass(spark, dfa, dfb, by="name",
+                            blocking_keys=["lang"], config=cfg)
+    return res.pairs.select("A", "B", F.round("match_probability", 6).alias("p"))
+
+
 def _q_em_mixture(spark, sf):
     import sys
     if _REPO not in sys.path:
@@ -711,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "em_mixture_posterior": _q_em_mixture,
         "active_learning_accepted": _q_active_learning,
+        "twopass_accepted": _q_twopass_accepted,
     }
 
 

@@ -133,6 +133,16 @@ def main() -> None:
     ).count()
     timings["q7_text_analysis"] = time.time() - t0
 
+    # q8: two-pass linkage (histogram-first calibration + in-kernel accept
+    # filter) — the 10^12-pair plan where the pair table never materializes
+    t0 = time.time()
+    from fuzzylink_spark.pipeline import fuzzylink_twopass
+
+    res = fuzzylink_twopass(spark, dfa, dfb, by="name",
+                            blocking_keys=["lang"], config=cfg)
+    extras["n_accepted_twopass"] = float(res.metrics["n_accepted"])
+    timings["q8_twopass_link"] = time.time() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "bench_total_wall",

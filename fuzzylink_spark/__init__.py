@@ -14,8 +14,8 @@ Architecture (see SURVEY.md):
 """
 
 from fuzzylink_spark.config import LinkConfig
-from fuzzylink_spark.pipeline import fuzzylink
+from fuzzylink_spark.pipeline import fuzzylink, fuzzylink_twopass
 from fuzzylink_spark.session import get_spark
 
-__all__ = ["LinkConfig", "fuzzylink", "get_spark"]
+__all__ = ["LinkConfig", "fuzzylink", "fuzzylink_twopass", "get_spark"]
 __version__ = "0.1.0"

@@ -144,6 +144,41 @@ def expected_f1_cutoff(
     return (best_p + float(prev)) / 2.0
 
 
+def expected_f1_cutoff_from_hist(ps, ws, fallback: float = 0.5) -> float:
+    """Driver-side mirror of the running-sum program over an ALREADY
+    bounded weighted (p, weight) histogram of unlabeled pairs (two-pass
+    mode: pass 1 returns <= bins^2 cells, so no Spark job is needed to
+    pick the cutoff). Same semantics as ``expected_f1_cutoff``:
+    expectations only (no labels), argmax F1, precision-favoring tie on
+    highest p, and a cutoff placed just below the argmax so the optimal
+    set survives the strict ``p > cutoff`` accept filter."""
+    import numpy as np
+
+    ps = np.asarray(ps, dtype=np.float64)
+    ws = np.asarray(ws, dtype=np.float64)
+    if ps.size == 0 or ws.sum() <= 0:
+        return fallback
+    # aggregate per distinct p (tie-determinism), ascending
+    uniq, inv = np.unique(ps, return_inverse=True)
+    w = np.bincount(inv, weights=ws)
+    tp_c = w * uniq
+    fp_c = w * (1 - uniq)
+    fn = np.concatenate([[0.0], np.cumsum(tp_c)[:-1]])         # mass below
+    tp = np.cumsum(tp_c[::-1])[::-1]                           # mass at/above
+    fp = np.cumsum(fp_c[::-1])[::-1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        prec = tp / (tp + fp)
+        rec = tp / (tp + fn)
+        f1 = 2.0 * prec * rec / (prec + rec)
+    f1 = np.nan_to_num(f1, nan=0.0)
+    best = int(np.flatnonzero(f1 == f1.max())[-1])  # highest-p tie-break
+    if f1[best] <= 0.0:
+        return fallback
+    if best == 0:
+        return float(uniq[0]) - 1e-9
+    return float(uniq[best] + uniq[best - 1]) / 2.0
+
+
 def mutual_best_matches(pairs: DataFrame, p_col: str = "match_probability",
                         a_col: str = "A", b_col: str = "B") -> DataFrame:
     """One-to-one post-filter: keep a pair only if it is the highest-

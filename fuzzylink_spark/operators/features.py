@@ -86,11 +86,39 @@ _EMPTY_MELT = pd.DataFrame(
 )
 
 
-def _gemm_melt_factory(encoder=None):
+def _tile_features(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame, encoder):
+    """Shared tile math: (sims, jw, exact) flat arrays for the na x nb
+    cross product of one GEMM cell."""
+    a_keys = a_pdf["key"].tolist()
+    b_keys = b_pdf["key"].tolist()
+    if encoder is not None:
+        A = encoder(a_keys)
+        B = encoder(b_keys)
+    else:
+        A = np.asarray(a_pdf["embedding"].tolist(), dtype=np.float32)
+        B = np.asarray(b_pdf["embedding"].tolist(), dtype=np.float32)
+    sims = (A @ B.T).astype(np.float64).ravel()
+    na, nb = len(a_pdf), len(b_pdf)
+    a_low = [k.lower() for k in a_keys]
+    b_low = [k.lower() for k in b_keys]
+    jw = jaro_winkler_cross(a_low, b_low).ravel()
+    exact = np.repeat(a_pdf["ci"].to_numpy(np.int64), nb) == np.tile(
+        b_pdf["ci"].to_numpy(np.int64), na
+    )
+    return sims, jw, exact, na, nb
+
+
+def _gemm_melt_factory(encoder=None, accept=None):
     """Build the per-cell kernel. With ``encoder`` (list[str] -> unit-norm
     np.ndarray), cells carry only key strings and embeddings are computed
     in place — the shuffle never moves a vector. Without it, cells carry
-    an ``embedding`` column (external/pretrained embeddings path)."""
+    an ``embedding`` column (external/pretrained embeddings path).
+
+    ``accept`` = (posterior_fn, cutoff): score pairs IN the tile with the
+    broadcast calibrator and emit ONLY exact matches and pairs above the
+    cutoff (plus match_probability). This is the second pass of the
+    two-pass plan: at 10^12 candidate pairs the full pair table is tens
+    of TB — the accepted set is the only thing worth materializing."""
 
     def _gemm_melt(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
         """One (block, sa, sb) tile: GEMM over the two unique-key embedding
@@ -100,37 +128,73 @@ def _gemm_melt_factory(encoder=None):
         the melt emits int ids (computed upstream in Catalyst), never the
         strings themselves."""
         if len(a_pdf) == 0 or len(b_pdf) == 0:
-            return _EMPTY_MELT
-        a_keys = a_pdf["key"].tolist()
-        b_keys = b_pdf["key"].tolist()
-        if encoder is not None:
-            A = encoder(a_keys)
-            B = encoder(b_keys)
-        else:
-            A = np.asarray(a_pdf["embedding"].tolist(), dtype=np.float32)
-            B = np.asarray(b_pdf["embedding"].tolist(), dtype=np.float32)
-        sims = (A @ B.T).astype(np.float64).ravel()
-        na, nb = len(a_pdf), len(b_pdf)
-        a_low = [k.lower() for k in a_keys]
-        b_low = [k.lower() for k in b_keys]
-        jw = jaro_winkler_cross(a_low, b_low).ravel()
+            return _EMPTY_MELT if accept is None else _EMPTY_ACCEPT
+        sims, jw, exact, na, nb = _tile_features(a_pdf, b_pdf, encoder)
         a_rep = np.repeat(a_pdf["id"].to_numpy(np.int64), nb)
         b_rep = np.tile(b_pdf["id"].to_numpy(np.int64), na)
-        exact = np.repeat(a_pdf["ci"].to_numpy(np.int64), nb) == np.tile(
-            b_pdf["ci"].to_numpy(np.int64), na
-        )
+        if accept is None:
+            return pd.DataFrame(
+                {
+                    "block_id": np.full(na * nb, key[0], dtype=np.int64),
+                    "a_id": a_rep,
+                    "b_id": b_rep,
+                    "sim": sims,
+                    "jw": jw,
+                    "exact": exact,
+                }
+            )
+        posterior_fn, cutoff = accept
+        p = np.where(exact, 1.0, posterior_fn(sims, jw))
+        keep = exact | (p > cutoff)
         return pd.DataFrame(
             {
-                "block_id": np.full(na * nb, key[0], dtype=np.int64),
-                "a_id": a_rep,
-                "b_id": b_rep,
-                "sim": sims,
-                "jw": jw,
-                "exact": exact,
+                "block_id": np.full(int(keep.sum()), key[0], dtype=np.int64),
+                "a_id": a_rep[keep],
+                "b_id": b_rep[keep],
+                "sim": sims[keep],
+                "jw": jw[keep],
+                "exact": exact[keep],
+                "match_probability": p[keep],
             }
         )
 
     return _gemm_melt
+
+
+ACCEPT_IR_SCHEMA = PAIR_IR_SCHEMA + ", match_probability double"
+
+_EMPTY_ACCEPT = _EMPTY_MELT.assign(
+    match_probability=pd.Series([], dtype="float64")
+)
+
+
+def _hist_kernel_factory(encoder, bins: int, lo: float, hi: float):
+    """Per-cell kernel for pass 1 of the two-pass plan: emit the tile's
+    2-D (sim, jw) histogram of NON-exact pairs — <= bins^2 rows per tile
+    instead of na*nb. Exact pairs are excluded (they are forced to p=1
+    downstream and would only bias the mixture fit)."""
+    width = (hi - lo) / bins
+
+    def _hist(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"bx": pd.Series([], dtype="int32"),
+                                 "by": pd.Series([], dtype="int32"),
+                                 "n": pd.Series([], dtype="int64")})
+        sims, jw, exact, _na, _nb = _tile_features(a_pdf, b_pdf, encoder)
+        nontrivial = ~exact
+        bx = np.clip(((sims[nontrivial] - lo) / width), 0, bins - 1).astype(np.int64)
+        by = np.clip(((jw[nontrivial] - lo) / width), 0, bins - 1).astype(np.int64)
+        counts = np.bincount(bx * bins + by, minlength=bins * bins)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {
+                "bx": (nz // bins).astype(np.int32),
+                "by": (nz % bins).astype(np.int32),
+                "n": counts[nz].astype(np.int64),
+            }
+        )
+
+    return _hist
 
 
 def _salted_side(u: DataFrame, emb: DataFrame | None, block_k: DataFrame,
@@ -191,6 +255,77 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     )
 
 
+def _cogrouped_tiles(
+    uA: DataFrame,
+    uB: DataFrame,
+    emb: DataFrame | None,
+    encoder,
+    pair_budget: int,
+    max_salt: int,
+    case_insensitive: bool,
+):
+    """Shared tile machinery: adaptive 2-D salt plan, id/tile-coordinate
+    attachment, pinned repartition, and the cogroup handle ready for any
+    per-tile kernel (melt / filtered melt / histogram)."""
+    if emb is None and encoder is None:
+        raise ValueError("need an encoder or an embedding table")
+
+    def _fresh(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        return df.select(*[F.col(c).alias(c) for c in df.columns])
+
+    emb_used = None if encoder is not None else emb
+    block_k = block_salt_plan(uA, uB, pair_budget, max_salt).persist()
+    row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
+    total_cells = int(row["c"] or 1)
+    sc = uA.sparkSession.sparkContext
+    # 4 partition slots per tile: tiles are seconds of kernel compute, so
+    # two tiles hash-colliding into one partition creates a straggler that
+    # caps scaling; extra empty partitions cost only empty-task launches.
+    # AQE is pinned off this exchange by the explicit repartition-by-num.
+    n_part = int(min(max(sc.defaultParallelism * 2, total_cells * 4), 65536))
+    a = _salted_side(_fresh(uA), _fresh(emb_used), _fresh(block_k), own="ka",
+                     other="kb", case_insensitive=case_insensitive)
+    a = a.withColumnRenamed("_own", "sa").withColumnRenamed("_other", "sb")
+    a = a.repartition(n_part, "block_id", "sa", "sb")
+    b = _salted_side(_fresh(uB), _fresh(emb_used), _fresh(block_k), own="kb",
+                     other="ka", case_insensitive=case_insensitive)
+    b = b.withColumnRenamed("_own", "sb").withColumnRenamed("_other", "sa")
+    b = b.repartition(n_part, "block_id", "sa", "sb")
+    return a.groupby("block_id", "sa", "sb").cogroup(
+        b.groupby("block_id", "sa", "sb")
+    )
+
+
+def cogrouped_pair_histogram(
+    uA: DataFrame,
+    uB: DataFrame,
+    emb: DataFrame | None = None,
+    encoder=None,
+    bins: int = 200,
+    lo: float = -1.0,
+    hi: float = 1.0,
+    pair_budget: int = 250_000,
+    max_salt: int = 4096,
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Pass 1 of the two-pass plan: the bounded 2-D (sim, jw) histogram of
+    every NON-exact candidate pair, computed tile-locally and merged with
+    one tiny shuffle (<= bins^2 rows). The pair table itself is never
+    materialized — at 10^12 candidate pairs this is the only way to
+    calibrate. Multi-block duplicate pairs are counted once per block
+    (a <=0.01%-mass bias on realistic blocking; the calibrator fits
+    distribution shape, not exact counts)."""
+    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget, max_salt,
+                          case_insensitive)
+    per_tile = cg.applyInPandas(
+        _hist_kernel_factory(encoder, bins, lo, hi),
+        schema="bx int, by int, n long",
+    )
+    return per_tile.groupBy("bx", "by").agg(F.sum("n").alias("n"))
+
+
 def cogrouped_pair_features(
     uA: DataFrame,
     uB: DataFrame,
@@ -199,6 +334,7 @@ def cogrouped_pair_features(
     pair_budget: int = 250_000,
     max_salt: int = 4096,
     case_insensitive: bool = True,
+    accept=None,
 ) -> DataFrame:
     """Candidate generation + cosine + JW in ONE cogrouped Arrow pass,
     emitting the NUMERIC pair IR (block_id, a_id, b_id, sim, jw, exact).
@@ -212,48 +348,16 @@ def cogrouped_pair_features(
     string (join them back with ``attach_pair_strings`` where needed).
     Every block is adaptively 2-D tiled so no tile exceeds ``pair_budget``
     pairs: uniform tasks, bounded memory.
+
+    ``accept`` = (posterior_fn, cutoff) turns this into pass 2 of the
+    two-pass plan: pairs are scored in-tile with the broadcast calibrator
+    and only exact matches + pairs above the cutoff are emitted (schema
+    gains ``match_probability``) — the full pair table never exists.
     """
-    if emb is None and encoder is None:
-        raise ValueError("need an encoder or an embedding table")
-
-    # fresh projections (new expr ids) so shared plans don't trigger
-    # ambiguous-self-join resolution across the two cogroup sides
-    def _fresh(df: DataFrame | None) -> DataFrame | None:
-        if df is None:
-            return None
-        return df.select(*[F.col(c).alias(c) for c in df.columns])
-
-    emb_used = None if encoder is not None else emb
-    block_k = block_salt_plan(uA, uB, pair_budget, max_salt).persist()
-    # Partition count must track TILES, not bytes: the cogroup input is a
-    # few MB of strings but each tile is seconds of kernel compute, so
-    # AQE's size-based coalescing would collapse it to one partition (a
-    # measured 30x slowdown). An explicit repartition-by-num on the tile
-    # key pins the layout — AQE leaves user-specified counts alone.
-    row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
-    total_cells = int(row["c"] or 1)
-    sc = uA.sparkSession.sparkContext
-    # 4 partition slots per tile: tiles are seconds of kernel compute, so
-    # two tiles hash-colliding into one partition creates a straggler that
-    # caps scaling (measured: 99 tiles in 64 partitions left 32 cores ~40%
-    # idle). Extra empty partitions cost only empty-task launches.
-    n_part = int(min(max(sc.defaultParallelism * 2, total_cells * 4), 65536))
-
-    # A side: own coordinate = row tile (ka), replicate across column tiles
-    a = _salted_side(_fresh(uA), _fresh(emb_used), _fresh(block_k), own="ka",
-                     other="kb", case_insensitive=case_insensitive)
-    a = a.withColumnRenamed("_own", "sa").withColumnRenamed("_other", "sb")
-    a = a.repartition(n_part, "block_id", "sa", "sb")
-    # B side: own coordinate = column tile (kb), replicate across row tiles
-    b = _salted_side(_fresh(uB), _fresh(emb_used), _fresh(block_k), own="kb",
-                     other="ka", case_insensitive=case_insensitive)
-    b = b.withColumnRenamed("_own", "sb").withColumnRenamed("_other", "sa")
-    b = b.repartition(n_part, "block_id", "sa", "sb")
-    return (
-        a.groupby("block_id", "sa", "sb")
-        .cogroup(b.groupby("block_id", "sa", "sb"))
-        .applyInPandas(_gemm_melt_factory(encoder), schema=PAIR_IR_SCHEMA)
-    )
+    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget, max_salt,
+                          case_insensitive)
+    schema = PAIR_IR_SCHEMA if accept is None else ACCEPT_IR_SCHEMA
+    return cg.applyInPandas(_gemm_melt_factory(encoder, accept), schema=schema)
 
 
 def pair_dictionaries(uA: DataFrame, uB: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -357,6 +357,29 @@ class Mixture2D:
     def top(self) -> int:
         return max(range(len(self.mus)), key=lambda k: sum(self.mus[k]))
 
+    def posterior_fn(self):
+        """Picklable NumPy posterior (x_arr, y_arr) -> p_arr, for scoring
+        INSIDE Arrow tile kernels (two-pass mode: the calibrator params
+        broadcast with the closure; no per-pair JVM round trip)."""
+        pis = [max(pi, 1e-12) for pi in self.pis]
+        mus, sds, top = list(self.mus), list(self.sds), self.top
+
+        def fn(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+            logs = [
+                math.log(pi)
+                - 0.5 * math.log(2 * math.pi) - math.log(sd[0])
+                - (x - mu[0]) ** 2 / (2 * sd[0] * sd[0])
+                - 0.5 * math.log(2 * math.pi) - math.log(sd[1])
+                - (y - mu[1]) ** 2 / (2 * sd[1] * sd[1])
+                for pi, mu, sd in zip(pis, mus, sds)
+            ]
+            L = np.stack(logs)
+            m = L.max(axis=0)
+            P = np.exp(L - m)
+            return P[top] / P.sum(axis=0)
+
+        return fn
+
     def posterior_col(self):
         x = F.col(self.features[0])
         y = F.col(self.features[1])

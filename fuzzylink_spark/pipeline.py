@@ -336,6 +336,113 @@ def assemble(dfA: DataFrame, dfB: DataFrame, accepted: DataFrame,
     return res
 
 
+def fuzzylink_twopass(
+    spark: SparkSession,
+    dfA: DataFrame,
+    dfB: DataFrame,
+    by: str,
+    blocking_keys: list[str] | None = None,
+    config: LinkConfig | None = None,
+    bins: int = 200,
+) -> LinkResult:
+    """Two-pass linkage for scales where the pair table itself is the
+    bottleneck (10^12 candidate pairs ~ tens of TB of IR):
+
+      pass 1  tiles emit a bounded 2-D (sim, jw) histogram of non-exact
+              pairs (<= bins^2 rows TOTAL after one tiny shuffle); the EM
+              calibrator and the expected-F1 cutoff are fit from it on
+              the driver — no pair row ever materializes;
+      pass 2  tiles re-run the same GEMM but score pairs IN the kernel
+              with the broadcast calibrator and emit ONLY exact matches
+              and pairs above the cutoff.
+
+    Kernel compute doubles; shuffle/persist volume collapses from
+    O(candidate pairs) to O(accepted pairs). Equivalent to the classic
+    path up to histogram quantization of the calibrator inputs (bucket
+    width (hi-lo)/bins); unsupervised only (no labeler — the AL loop
+    needs the scored pair table)."""
+    import numpy as np
+
+    from fuzzylink_spark.operators.cutoff import expected_f1_cutoff_from_hist
+    from fuzzylink_spark.operators.features import (
+        attach_pair_strings,
+        cogrouped_pair_features,
+        cogrouped_pair_histogram,
+        pair_dictionaries,
+    )
+    from fuzzylink_spark.operators.scoring import fit_mixture2d_em
+    from fuzzylink_spark.sources.tables import validate_columns
+
+    config = replace(config or LinkConfig(), by=by,
+                     blocking_keys=list(blocking_keys or []))
+    validate_columns(dfA, [by, *config.blocking_keys], name="dfA")
+    validate_columns(dfB, [by, *config.blocking_keys], name="dfB")
+    blocking = config.blocking_keys
+
+    a = add_block_key(drop_incomplete(dfA, by, blocking, warn=False), blocking)
+    blocks = distinct_blocks(dfA, blocking).persist()
+    b = semi_join_blocks(drop_incomplete(dfB, by, blocking, warn=False),
+                         blocks, blocking,
+                         broadcast_threshold=config.broadcast_threshold_rows)
+    uA = unique_keys_per_block(a, by).persist()
+    uB = unique_keys_per_block(b, by).persist()
+    if blocking and uB.limit(1).count() == 0:
+        raise ValueError(
+            "blocking removed every dfB row: no overlap between dfA and dfB "
+            f"on blocking keys {blocking}"
+        )
+
+    from fuzzylink_spark.functions.vectors import embed_strings
+
+    dim, ngrams, eseed = (config.embedding_dim, config.encoder_ngrams,
+                          config.encoder_seed)
+
+    def encoder(keys_batch: list[str]):
+        return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
+
+    # pass 1: bounded histogram -> driver-side EM + cutoff
+    lo, hi = -1.0, 1.0
+    width = (hi - lo) / bins
+    cells = cogrouped_pair_histogram(
+        uA, uB, encoder=encoder, bins=bins, lo=lo, hi=hi,
+        pair_budget=config.salt_pair_threshold,
+        case_insensitive=config.exact_case_insensitive).collect()
+    if not cells:
+        raise ValueError("no non-exact candidate pairs to calibrate on")
+    hist = np.array(
+        [(lo + (r["bx"] + 0.5) * width, lo + (r["by"] + 0.5) * width, r["n"])
+         for r in cells], dtype=np.float64,
+    )
+    n_pairs = float(hist[:, 2].sum())
+    stats = uA.count(), uB.count()
+    model = fit_mixture2d_em(hist, prevalence_hint=min(stats) / max(n_pairs, 1.0))
+    model.features = ("sim", "jw")
+    post = model.posterior_fn()
+    p_cells = post(hist[:, 0], hist[:, 1])
+    cutoff = expected_f1_cutoff_from_hist(p_cells, hist[:, 2],
+                                          fallback=config.fallback_cutoff)
+
+    # pass 2: in-kernel scoring, only accepted pairs ever leave a tile
+    accepted = cogrouped_pair_features(
+        uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
+        case_insensitive=config.exact_case_insensitive,
+        accept=(post, cutoff))
+    accepted = accepted.withColumn(
+        "match",
+        F.when(F.col("exact"), F.lit("Yes")).otherwise(F.lit(None).cast("string")),
+    )
+    # multi-block duplicate pairs: same removal-list anti-join as the
+    # classic path, applied to the (small) accepted set
+    accepted = accepted.dropDuplicates(["a_id", "b_id"])
+    key_dict, block_dict = pair_dictionaries(uA, uB)
+    accepted = attach_pair_strings(accepted, key_dict, block_dict)
+    linked = assemble(dfA, dfB, accepted, config)
+    metrics = {"cutoff": cutoff, "n_candidate_pairs": n_pairs,
+               "n_accepted": accepted.count()}
+    return LinkResult(linked=linked, pairs=accepted, cutoff=cutoff,
+                      model=model, metrics=metrics)
+
+
 def fuzzylink(
     spark: SparkSession,
     dfA: DataFrame,

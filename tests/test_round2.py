@@ -197,3 +197,39 @@ def test_checkpoint_invalidates_on_new_input(spark, tmp_path):
     keys2 = {r["A"] for r in r2.select("A").collect()}
     assert keys1 and keys2
     assert keys1.isdisjoint(keys2)  # r2 must NOT be a resumed copy of r1
+
+
+def test_twopass_matches_classic(spark):
+    """fuzzylink_twopass (histogram-first calibration + in-kernel accept
+    filtering; the pair table never materializes) must reproduce the
+    classic path's accepted set."""
+    from pyspark.sql import functions as F
+
+    from fuzzylink_spark.config import LinkConfig
+    from fuzzylink_spark.operators.cutoff import accepted_matches, expected_f1_cutoff
+    from fuzzylink_spark.pipeline import build_scored_pairs, fit_and_score, fuzzylink_twopass
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = F.substring(F.col("text"), 1, 48).alias("name")
+    side = F.pmod(F.xxhash64("source"), F.lit(2))
+    dfa = docs.where(side == 0).select(key, "lang", "doc_id")
+    dfb = docs.where(side == 1).select(key, "lang", "doc_id")
+    cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=64)
+
+    pairs = build_scored_pairs(spark, dfa, dfb, cfg)
+    scored, _model = fit_and_score(pairs, cfg)
+    cut = expected_f1_cutoff(scored, bins=cfg.cutoff_bins)
+    classic = {(r["A"], r["B"])
+               for r in accepted_matches(scored, cut).select("A", "B").collect()}
+
+    res = fuzzylink_twopass(spark, dfa, dfb, by="name", blocking_keys=["lang"],
+                            config=cfg)
+    tp = {(r["A"], r["B"]) for r in res.pairs.select("A", "B").collect()}
+    union = classic | tp
+    jac = len(classic & tp) / max(len(union), 1)
+    # histogram quantization can flip boundary pairs; the sets must agree
+    # almost everywhere
+    assert jac >= 0.95, (len(classic), len(tp), jac)
+    assert "match_probability" in res.pairs.columns
+    # linked output keeps every dfA row
+    assert res.linked.select("name").distinct().count() == dfa.select("name").distinct().count()
