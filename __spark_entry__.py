@@ -507,16 +507,20 @@ def _q_embedding_near_dup(spark, sf):
 
 
 def _q_multimodal_features(spark, sf):
-    """Binary media plumbing: deterministic synthetic payloads -> Arrow
-    batch feature extraction (decode kernels stubbed; plumbing real)."""
+    """Binary media columns with REAL decode: BMP images and RIFF/WAV
+    audio parsed by stdlib+NumPy kernels inside mapInPandas (video stays
+    behind the fail-fast NotImplementedError / fake stand-in)."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
     from fuzzylink_spark.operators.multimodal import extract_features, synth_media
-    media = synth_media(spark, n=48)
-    feats = extract_features(media, dim=16, fake=True)
-    return feats.select("media_id", "kind", F.size("feature").alias("dim"))
+    media = synth_media(spark, n=48).where(F.col("kind") != "video")
+    feats = extract_features(media, dim=16)  # real decode, no fake
+    return feats.select(
+        "media_id", "kind", F.size("feature").alias("dim"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
 
 
 def _q_lexical_features(spark, sf):

@@ -1,11 +1,21 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+decode kernels for the formats parseable with the stdlib + NumPy alone.
 
 Image/audio/video travel as ``binary`` columns with a metadata struct.
 The Spark side — schema, partitioning, Arrow batch shape, UDF signatures —
-is real and tested; the codec kernels are STUBBED (decode libs aren't in
-this container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic fake decoder so the
-pipeline shape can be exercised end-to-end.
+is real and tested, and so is decode for two concrete codecs:
+
+- WAV (RIFF/PCM) via the stdlib ``wave`` module → sample array →
+  duration / RMS / zero-crossing rate / log-energy FFT bands;
+- BMP (uncompressed 24-bit BI_RGB) via ``struct`` header parsing →
+  HxWx3 array → mean-RGB / luma histogram, plus nearest-neighbor resize.
+
+Other codecs (JPEG/PNG/MP4...) need external libraries that are not in
+this container; payloads in those formats raise ``NotImplementedError``
+naming the magic bytes — loudly, per batch, so a misconfigured cluster
+job fails fast instead of producing garbage features. ``fake=True``
+substitutes a deterministic hash-seeded featurizer for everything (test
+plumbing / schema work without any decodable payloads).
 
 Design notes for 100 TB:
 - payloads stay opaque bytes until the last possible operator — filters
@@ -20,6 +30,9 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,23 +61,163 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# codecs (pure stdlib + NumPy)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> mono 16-bit PCM WAV bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sample_rate, float32 mono samples in [-1, 1])."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} not supported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return rate, x
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> uncompressed 24-bit BI_RGB BMP bytes."""
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    pix = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up rows, BGR channel order
+        row = img[r][:, ::-1].tobytes()
+        pix += row + b"\x00" * (row_size - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return bytes(header) + info + bytes(pix)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> HxWx3 uint8 RGB array."""
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hdrsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
+    row_size = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(payload, np.uint8, row_size * abs(h), off)
+    img = arr.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]
+    if h > 0:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (the Spark-side contract is fixed-shape
+    features; NN keeps it dependency-free and deterministic)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def audio_features(rate: int, x: np.ndarray, dim: int) -> np.ndarray:
+    """Fixed-dim audio descriptor: [duration_s, rms, zero-crossing rate]
+    + (dim-3) log-energy FFT bands."""
+    out = np.zeros(dim, dtype=np.float32)
+    if len(x) == 0:
+        return out
+    out[0] = len(x) / max(rate, 1)
+    out[1] = float(np.sqrt(np.mean(x * x)))
+    out[2] = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, max(dim - 3, 1))
+    out[3:] = [float(np.log1p(b.mean())) if len(b) else 0.0 for b in bands]
+    return out
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Fixed-dim image descriptor: [mean R, G, B] + (dim-3)-bin luma
+    histogram (mass-normalized)."""
+    out = np.zeros(dim, dtype=np.float32)
+    if img.size == 0:
+        return out
+    out[:3] = img.reshape(-1, 3).mean(axis=0) / 255.0
+    luma = img @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=max(dim - 3, 1), range=(0, 255))
+    out[3:] = hist / max(hist.sum(), 1)
+    return out
+
+
+def decode_features(payload: bytes, dim: int) -> np.ndarray:
+    """Magic-byte dispatch: BMP and WAV decode for real; anything else
+    raises naming the format (fail fast, never garbage features)."""
+    if payload is None or len(payload) < 4:
+        return np.zeros(dim, dtype=np.float32)
+    if payload[:2] == b"BM":
+        return image_features(decode_bmp(payload), dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, x = decode_wav(payload)
+        return audio_features(rate, x, dim)
+    raise NotImplementedError(
+        f"no decoder for payload magic {payload[:4]!r}: only BMP and "
+        "RIFF/WAV decode with the stdlib; other codecs need external "
+        "libraries (register a kernel, or pass fake=True for the "
+        "deterministic stand-in)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
 def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table exercising the schema/batch shape."""
+    """Deterministic media table with REAL payloads: gradient BMPs and
+    sine WAVs (decodable by the real kernels), plus undecodable 'video'
+    blobs for the fail-fast/fake paths."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4  # 128 B
-        rows.append(
-            (i, kind, bytearray(payload),
-             (f"{kind}/fake", 64 + i % 8, 48 + i % 6, 1000 + i))
-        )
+        if kind == "image":
+            w, h = 16 + i % 8, 12 + i % 6
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = (np.arange(w) * (i + 3)) % 256
+            img[:, :, 1] = (np.arange(h)[:, None] * (i + 7)) % 256
+            img[:, :, 2] = (i * 11) % 256
+            payload = encode_bmp(img)
+            meta = ("image/bmp", w, h, 0)
+        elif kind == "audio":
+            t = np.arange(800) / 8000.0
+            payload = encode_wav(np.sin(2 * np.pi * (200 + 20 * i) * t), 8000)
+            meta = ("audio/wav", 0, 0, 100)
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+            meta = ("video/fake", 64 + i % 8, 48 + i % 6, 1000 + i)
+        rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic fake 'decode + featurize': hash-seeded projection.
-    Stands in for a real image/audio decoder (not in this container)."""
+    Stands in for codecs that need external libraries."""
     h = hashlib.sha256(payload or b"").digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     v = rng.standard_normal(dim).astype(np.float32)
@@ -80,21 +233,17 @@ def extract_features(
 ) -> DataFrame:
     """media -> DataFrame[media_id, kind, feature array<float>].
 
-    Real decoders (PIL/av/librosa) plug into ``kernel`` below; without
-    them, ``fake=True`` uses the deterministic stand-in and ``fake=False``
-    raises NotImplementedError — loudly, per batch, so a misconfigured
-    cluster job fails fast instead of producing garbage features.
-    """
+    Real decode for BMP images and RIFF/WAV audio (stdlib + NumPy);
+    other payloads raise NotImplementedError naming the magic bytes.
+    ``fake=True`` substitutes the deterministic hash featurizer for
+    every payload (plumbing tests / codec-free environments)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stand-in or register a real kernel"
-                )
-            feats = [ _fake_decode(p, dim) for p in pdf[batch_col] ]
+            if fake:
+                feats = [_fake_decode(p, dim) for p in pdf[batch_col]]
+            else:
+                feats = [decode_features(p, dim) for p in pdf[batch_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -110,8 +259,9 @@ def extract_features(
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand (media_id, duration) into one
-    row per sampled timestamp (the decode itself is the stubbed kernel).
-    Pure Catalyst sequence/explode — the expansion is the Spark-side work."""
+    row per sampled timestamp (the per-frame decode would plug into
+    ``extract_features``-style kernels). Pure Catalyst sequence/explode —
+    the expansion is the Spark-side work."""
     return (
         media.where(F.col("kind") == "video")
         .select(

@@ -239,3 +239,60 @@ def test_lsh_topk_perturbed_neighbor_recall(spark):
     out = lsh_bucketed_topk(cdf, qdf, k=5, tables=4, planes=6)
     hits = {r["query_id"] for r in out.collect() if r["vec_id"] == r["query_id"]}
     assert len(hits) / nq >= 0.9, len(hits) / nq
+
+
+# --- multimodal: real stdlib codecs -----------------------------------------
+
+def test_wav_roundtrip_and_features():
+    from fuzzylink_spark.operators.multimodal import audio_features, decode_wav, encode_wav
+
+    t = np.arange(1600) / 8000.0
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float64)
+    rate, back = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and len(back) == 1600
+    assert np.max(np.abs(back - x)) < 1e-3  # 16-bit quantization only
+    f = audio_features(rate, back, dim=16)
+    assert f.shape == (16,)
+    assert abs(f[0] - 0.2) < 1e-6            # duration 1600/8000 s
+    assert abs(f[1] - 1 / np.sqrt(2)) < 0.01  # sine RMS
+
+
+def test_bmp_roundtrip_and_resize():
+    from fuzzylink_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_features,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)  # odd row padding
+    back = decode_bmp(encode_bmp(img))
+    assert back.shape == img.shape
+    assert np.array_equal(back, img)  # lossless roundtrip
+    small = resize_nearest(img, 4, 5)
+    assert small.shape == (4, 5, 3)
+    f = image_features(img, dim=16)
+    assert f.shape == (16,)
+    assert np.allclose(f[:3], img.reshape(-1, 3).mean(axis=0) / 255.0, atol=1e-6)
+    assert abs(f[3:].sum() - 1.0) < 1e-5  # histogram mass-normalized
+
+
+def test_extract_features_real_decode(spark):
+    from fuzzylink_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=24)
+    real = media.where("kind != 'video'")
+    out = extract_features(real, dim=16).collect()
+    assert len(out) == 16  # 8 images + 8 audio
+    assert all(len(r["feature"]) == 16 for r in out)
+    # image features are non-degenerate and kind-dependent
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r["feature"])
+    assert len({tuple(f) for f in by_kind["image"]}) == len(by_kind["image"])
+    # undecodable payloads fail FAST, naming the magic
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no decoder for payload magic"):
+        extract_features(media.where("kind = 'video'"), dim=8).collect()
