@@ -51,11 +51,16 @@ def link_repo_files(
     files: DataFrame,
     config: LinkConfig | None = None,
     id_col: str = "file_id",
+    twopass: bool = False,
 ) -> dict:
     """Cluster repo files into entities. Returns dict with:
     - ``assignment``: DataFrame[file_id, cluster, content_sha256]
     - ``pairs``: the scored key-pair table
     - ``cutoff``: chosen probability cutoff
+
+    ``twopass=True`` routes through ``fuzzylink_twopass`` (histogram-first
+    calibration + in-kernel accept filter): at 10^12 files the scored
+    key-pair table never materializes — only accepted pairs do.
     """
     config = replace(config or LinkConfig(), by="name", blocking_keys=["lang"])
     keyed = files.withColumn("name", file_key()).withColumn(
@@ -63,15 +68,25 @@ def link_repo_files(
     )
     sides = keyed.select("name", "lang").distinct()
 
-    pairs = build_scored_pairs(spark, sides, sides, config)
-    scored, model = fit_and_score(pairs, config)
-    scored = scored.persist()
-    # exclude trivial self-pairs from the cutoff search (they are accepted
-    # by construction and would skew the histogram)
-    nontrivial = scored.where(F.lower(F.col("A")) != F.lower(F.col("B")))
-    cutoff = expected_f1_cutoff(nontrivial, bins=config.cutoff_bins,
-                                fallback=config.fallback_cutoff)
-    accepted = accepted_matches(scored, cutoff)
+    if twopass:
+        from fuzzylink_spark.pipeline import fuzzylink_twopass
+
+        res = fuzzylink_twopass(spark, sides, sides, by="name",
+                                blocking_keys=["lang"], config=config)
+        scored, model, cutoff = res.pairs, res.model, res.cutoff
+        accepted = scored  # pass 2 emits only accepted pairs
+    else:
+        pairs = build_scored_pairs(spark, sides, sides, config)
+        scored, model = fit_and_score(pairs, config)
+        scored = scored.persist()
+        # exclude trivial self-pairs from the cutoff search (accepted by
+        # construction; they would skew the histogram) — the IR's `exact`
+        # flag avoids a per-row string compare
+        nontrivial = scored.where(~F.col("exact")) if "exact" in scored.columns \
+            else scored.where(F.lower(F.col("A")) != F.lower(F.col("B")))
+        cutoff = expected_f1_cutoff(nontrivial, bins=config.cutoff_bins,
+                                    fallback=config.fallback_cutoff)
+        accepted = accepted_matches(scored, cutoff)
 
     # key pairs -> file-id edges: two joins against the (key -> id) map
     idmap = keyed.select(

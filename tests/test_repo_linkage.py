@@ -44,3 +44,17 @@ def test_repo_files_every_file_assigned(spark, linked):
     files, _gold, res = linked
     assert res["assignment"].where(F.col("cluster").isNull()).count() == 0
     assert res["assignment"].count() == files.count()
+
+
+def test_repo_files_twopass_f1(spark):
+    """Two-pass mode (no materialized pair table) must hit the same
+    pairwise-F1 gate on the north-rule input shape."""
+    files, gold_pairs, _gold_assign = repo_files(spark, n_clusters=60)
+    res = link_repo_files(spark, files, twopass=True)
+    pred_pairs = clusters_to_pairs(
+        res["assignment"].select(
+            F.col("file_id").alias("id"), F.col("cluster").alias("component")
+        )
+    )
+    m = pairwise_f1(pred_pairs, gold_pairs)
+    assert m["f1"] >= 0.99, m
