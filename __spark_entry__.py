@@ -659,6 +659,60 @@ def _q_active_learning(spark, sf):
     return accepted_matches(scored, cutoff).select("A", "B")
 
 
+def _q_fingerprint(spark, sf):
+    """Document fingerprinting (rolling hash) — hash-specific, rows-only;
+    the DETERMINISM is the assertion (same text -> same fingerprint)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.functions.text import rolling_fingerprint
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+
+
+def _q_o2_uniform_sample(spark, sf):
+    """O2: seeded exact-n uniform sample (engine-seeded rand -> rows-only;
+    stable for a fixed Spark version + partitioning of the source scan)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.sampling import uniform_sample_n
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("A"),
+        F.col("source").alias("B"),
+    )
+    return uniform_sample_n(docs, 40, seed=11).select("A")
+
+
+def _q_near_dup_dedup(spark, sf):
+    """One-call near-duplicate dedup (LSH recall -> exact shingle-Jaccard
+    verify -> connected components -> min-id representative)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.dedup import near_dup_dedup
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    out = near_dup_dedup(docs, jaccard_threshold=0.7, num_hashes=32, bands=16)
+    return out.select("doc_id", F.col("n_dupes").cast("long").alias("n_dupes"))
+
+
+def _q_mutual_best(spark, sf):
+    """1:1 mutual-best post-filter with a DuckDB window oracle."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from fuzzylink_spark.operators.cutoff import mutual_best_matches
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") <= 2000).select(
+        F.col("o_custkey").cast("string").alias("A"),
+        F.col("o_orderkey").cast("string").alias("B"),
+        F.round(F.col("o_totalprice"), 2).alias("match_probability"),
+    )
+    out = mutual_best_matches(o)
+    return out.select("A", "B", F.round("match_probability", 6).alias("p"))
+
+
 def _q_twopass_accepted(spark, sf):
     """Two-pass linkage (pass 1: bounded (sim, jw) histogram -> driver EM
     + cutoff; pass 2: in-kernel accept filter — the full pair table never
@@ -738,6 +792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em_mixture_posterior": _q_em_mixture,
         "active_learning_accepted": _q_active_learning,
         "twopass_accepted": _q_twopass_accepted,
+        "doc_fingerprint": _q_fingerprint,
+        "o2_uniform_sample": _q_o2_uniform_sample,
+        "near_dup_dedup": _q_near_dup_dedup,
+        "mutual_best_1to1": _q_mutual_best,
     }
 
 
@@ -965,7 +1023,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS lang_pred
             FROM scores
         """,
+        "mutual_best_1to1": """
+            WITH ranked AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS A,
+                     CAST(o_orderkey AS VARCHAR) AS B,
+                     round(o_totalprice, 2) AS p,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY round(o_totalprice, 2) DESC,
+                                CAST(o_orderkey AS VARCHAR) ASC) AS ra,
+                     row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY round(o_totalprice, 2) DESC,
+                                CAST(o_custkey AS VARCHAR) ASC) AS rb
+              FROM orders WHERE o_orderkey <= 2000
+            )
+            SELECT A, B, round(p, 6) AS p FROM ranked WHERE ra = 1 AND rb = 1
+        """,
         # soundex_neq / lexical_features: DuckDB lacks soundex/OSA/LCS/q-gram
-        # o3_weighted_sample: seeded-rand sampling, engine-specific
-        # minhash/simhash/connected_components/lang_id/em_mixture: rows-only
+        # o2/o3 samples: seeded-rand sampling, engine-specific
+        # minhash/simhash/near_dup_dedup/connected_components/em_mixture/
+        # doc_fingerprint/twopass/active_learning: rows-only (iterative or
+        # hash-function-specific)
     }

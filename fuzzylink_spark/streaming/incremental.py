@@ -46,6 +46,69 @@ def stream_exact_dedup(
     ).drop("_h")
 
 
+def stream_dedup_with_counts(
+    stream: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    evict_after_ms: int = 600_000,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per content hash, track (first_seen_id, n_seen) across micro-batches
+    and emit an updated row whenever a batch touches the hash.
+
+    Unlike ``dropDuplicatesWithinWatermark`` (engine-managed state, binary
+    keep/drop), this keeps USER state — the canonical representative and a
+    running duplicate count, i.e. streaming exact-dedup bookkeeping for a
+    training-data pipeline. State is bounded: an event-time timeout evicts
+    hashes ``evict_after_ms`` past the watermark (late duplicates beyond
+    the horizon restart their count — the horizon is the contract, exactly
+    as in ``stream_exact_dedup``)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # the watermark column must SURVIVE into the stateful operator (the
+    # engine derives event-time timeouts from it) — keep it projected
+    hashed = (
+        stream.withColumn("_h", F.sha2(F.col(content_col), 256))
+        .withWatermark(ts_col, watermark_delay)
+        .select("_h", id_col, ts_col)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first, count = state.get if state.exists else (None, 0)
+        max_event_ms = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            batch_min = int(pdf[id_col].min())
+            first = batch_min if first is None else min(first, batch_min)
+            count += len(pdf)
+            max_event_ms = max(max_event_ms,
+                               int(pdf[ts_col].max().timestamp() * 1000))
+        state.update((int(first), int(count)))
+        # anchor the eviction to EVENT time, not the (one-batch-lagging)
+        # watermark: at the first batch the watermark is still epoch 0 and
+        # a watermark-relative timeout would evict everything immediately
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), max_event_ms) + evict_after_ms
+        )
+        yield pd.DataFrame({"h": [key[0]], "first_id": [first], "n_seen": [count]})
+
+    return hashed.groupBy("_h").applyInPandasWithState(
+        update,
+        outputStructType="h string, first_id long, n_seen long",
+        stateStructType="first_id long, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def make_link_batch_fn(
     static_side: DataFrame,
     config: LinkConfig,

@@ -123,3 +123,42 @@ def test_stream_static_side_scanned_once(spark, tmp_path):
     batch_fn(dfa, 0)
     batch_fn(dfa, 1)
     assert acc.value == n_static  # two batches: zero additional scans
+
+
+def test_stream_dedup_with_counts_stateful(spark, tmp_path):
+    """applyInPandasWithState operator: per-content-hash user state
+    (first_seen_id, n_seen) survives across micro-batches and emits
+    running duplicate counts."""
+    from fuzzylink_spark.streaming.incremental import stream_dedup_with_counts
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ck")
+
+    collected = []
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "id long, ts string, content string") \
+            .withColumn("ts", F.to_timestamp("ts")).write.parquet(src, mode="append")
+        stream = spark.readStream.schema("id long, ts timestamp, content string").parquet(src)
+        out = stream_dedup_with_counts(stream, id_col="id")
+        q = (out.writeStream.foreachBatch(
+                lambda df, bid: collected.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("update").start())
+        q.awaitTermination(120)
+
+    run_batch([(5, "2024-01-01 00:00:00", "dup content"),
+               (2, "2024-01-01 00:00:05", "dup content"),
+               (9, "2024-01-01 00:00:10", "unique one")])
+    run_batch([(7, "2024-01-01 00:01:00", "dup content")])
+
+    rows = collected
+    # last emitted state per hash wins
+    latest = {}
+    for r in rows:
+        latest[r["h"]] = (r["first_id"], max(r["n_seen"],
+                                             latest.get(r["h"], (0, 0))[1]))
+    by_count = sorted(latest.values())
+    assert (2, 3) in by_count     # 'dup content': first id 2, seen 3x across batches
+    assert (9, 1) in by_count     # 'unique one'
