@@ -200,6 +200,26 @@ Plan-level designs underneath (each matters at 10^12 scale):
    kernel work) and every downstream shuffle/persist of the pair table;
    strings rejoin from the distinct-key dictionaries only at
    assemble/sink.
+
+## Round-2 scaling decomposition (accumulator-timed, 96M pairs)
+
+| level | wall | in-kernel (GEMM+JW+encoder, Python) | non-kernel (sides, Arrow, JVM decode, count) |
+|---|---|---|---|
+| local[8]  | ~80 s | ~525 core-s (5.5 us/pair) | ~14 s wall |
+| local[32] | ~37 s | ~820 core-s (8.5 us/pair) | ~11 s wall |
+
+The residual 8->32 gap decomposes into (a) ~1.5x in-kernel per-pair
+inflation — shared LLC/memory subsystem of ONE socket, pressure a real
+N->4N executor scale-up (separate machines) does not pay; and (b) a
+~11 s non-kernel slice (Arrow hand-off + JVM row decode + side prep)
+that scales sub-linearly. Round-2 changes that moved the number from
+0.384 (round 1) despite a ~3x faster engine: numeric pair IR (no string
+melt), 4 partition slots per tile (stragglers: 99 tiles in 64
+partitions had left ~40%% of cores idle), removal-list anti-join dedup
+(replaces a full-pair-table shuffle), scatter/compaction JW
+transpositions with small dtypes (6.7 -> 4.6 us/pair AND ~2x less
+allocation traffic), and steady-state warm-up excluded identically at
+both levels.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
