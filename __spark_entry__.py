@@ -713,6 +713,25 @@ def _q_mutual_best(spark, sf):
     return out.select("A", "B", F.round("match_probability", 6).alias("p"))
 
 
+def _q_ivf_topk(spark, sf):
+    """IVF ANN (k-means cells + nprobe) — data-dependent quantizer,
+    rows-only."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.similarity_search import ivf_topk, l2_normalize_col, train_ivf_centroids
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", l2_normalize_col("embedding").alias("embedding")
+    )
+    C = train_ivf_centroids(emb, n_centroids=16, sample=2000, iters=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, C, k=5, nprobe=4)
+    return out.select("query_id", "vec_id", "rank")
+
+
 def _q_twopass_accepted(spark, sf):
     """Two-pass linkage (pass 1: bounded (sim, jw) histogram -> driver EM
     + cutoff; pass 2: in-kernel accept filter — the full pair table never
@@ -796,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_uniform_sample": _q_o2_uniform_sample,
         "near_dup_dedup": _q_near_dup_dedup,
         "mutual_best_1to1": _q_mutual_best,
+        "ivf_ann_topk": _q_ivf_topk,
     }
 
 

@@ -168,6 +168,103 @@ def signed_projection_bucket(vec_col: str, planes: int = 8, seed: int = 99) -> F
     return bucket
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    sample: int = 20_000,
+    iters: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means (cosine/spherical) on a bounded,
+    deterministic sample. The sample is hash-ordered (not head-of-scan)
+    so it is unbiased w.r.t. file layout; the fit is O(sample x C x d)
+    NumPy on the driver — independent of corpus size."""
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float32)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def _ivf_bucket_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: vector -> array of the ``nprobe`` nearest centroid ids
+    (one GEMM per Arrow batch against the broadcast centroid matrix)."""
+    C = np.asarray(centroids, dtype=np.float32)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _b(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.tolist(), dtype=np.float32)
+        if M.ndim != 2 or len(M) == 0:
+            return pd.Series([[]] * len(vecs))
+        scores = M @ C.T
+        kk = min(nprobe, scores.shape[1])
+        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _b
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their single nearest-centroid
+    cell; queries probe their ``nprobe`` nearest cells; exact cosine
+    inside the probed cells, windowed top-k.
+
+    The 100 TB shape: one corpus scan assigns cells (map-side GEMM
+    against the broadcast centroid matrix), the search is an equi join on
+    cell id — candidate volume ~ corpus/C x nprobe per query, never
+    all-pairs. Unlike sign-LSH, cells follow the DATA distribution
+    (k-means), so recall holds on clustered embeddings where random
+    hyperplanes cut through dense regions."""
+    cb = corpus.withColumn(
+        "_cell", F.element_at(_ivf_bucket_udf(centroids, 1)(F.col(vec_col)), 1)
+    )
+    qb = queries.withColumn(
+        "_cell", F.explode(_ivf_bucket_udf(centroids, nprobe)(F.col(vec_col)))
+    )
+    qside = qb.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_cell"
+    )
+    joined = cb.join(F.broadcast(qside), "_cell")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("vec_id"), dot.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -40,6 +40,10 @@ def main() -> None:
     p.add_argument("--embedding-dim", type=int, default=256)
     p.add_argument("--pair-budget", type=int, default=250_000)
     p.add_argument("--learner", default="em", choices=["em", "em1d", "logit", "rf"])
+    p.add_argument("--twopass", action="store_true",
+                   help="histogram-first calibration + in-kernel accept "
+                        "filter: the pair table never materializes "
+                        "(recommended at 10^11+ candidate pairs)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,7 +68,8 @@ def main() -> None:
         salt_pair_threshold=args.pair_budget,
         learner=args.learner,
     )
-    res = link_repo_files(spark, files, cfg, id_col=args.id_col)
+    res = link_repo_files(spark, files, cfg, id_col=args.id_col,
+                          twopass=args.twopass)
     res["assignment"].write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     summary = {

@@ -296,3 +296,36 @@ def test_extract_features_real_decode(spark):
 
     with _pytest.raises(Exception, match="no decoder for payload magic"):
         extract_features(media.where("kind = 'video'"), dim=8).collect()
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (k-means cells + nprobe) ANN: >= 90% of perturbed queries must
+    find their source vector in the top-k, on CLUSTERED data where the
+    cells matter."""
+    from fuzzylink_spark.operators.similarity_search import ivf_topk, train_ivf_centroids
+
+    rng = np.random.default_rng(21)
+    d, n_clusters, per = 32, 12, 40
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per, axis=0) + 0.25 * rng.standard_normal((n_clusters * per, d))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    n = len(pts)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    nq = 50
+    noise = rng.standard_normal((nq, d))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    q = pts[:nq] + 0.3 * noise
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q[i]]) for i in range(nq)],
+        "query_id long, embedding array<double>",
+    )
+    C = train_ivf_centroids(cdf, n_centroids=16, sample=n, iters=10)
+    assert C.shape[1] == d
+    out = ivf_topk(cdf, qdf, C, k=5, nprobe=4)
+    hits = {r["query_id"] for r in out.collect() if r["vec_id"] == r["query_id"]}
+    assert len(hits) / nq >= 0.9, len(hits) / nq
