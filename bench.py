@@ -45,7 +45,8 @@ def main() -> None:
     side = F.pmod(F.xxhash64("source"), F.lit(2))
     dfa = docs.where(side == 0).select(key, "lang", "doc_id")
     dfb = docs.where(side == 1).select(key, "lang", "doc_id")
-    cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128)
+    cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128,
+                 blocks_are_small=True)  # lang: declared low-cardinality
 
     # Warm-up: one tiny end-to-end featurize (500 docs) so whole-stage
     # codegen compilation and Python-worker startup are paid once, outside

@@ -39,6 +39,11 @@ class LinkConfig:
     cutoff_bins: int = 2000               # histogram resolution for scale mode
 
     # --- scale / physical plan knobs ---
+    # blocking-key cardinality declaration: None = probe with a count and
+    # guard the broadcast (safe default); True = keys are known
+    # low-cardinality (e.g. lang), broadcast without the probe job;
+    # False = known high-cardinality, shuffle semi join without probing
+    blocks_are_small: bool | None = None
     shuffle_partitions: int = 32
     block_pair_budget: int = 50_000_000   # max |uA|x|uB| pairs per block before salting warning
     salt_buckets: int = 8                 # fixed sub-splits (candidate_pairs path)

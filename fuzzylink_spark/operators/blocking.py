@@ -90,7 +90,8 @@ def distinct_blocks(dfA: DataFrame, blocking_keys: list[str]) -> DataFrame:
 
 def semi_join_blocks(dfB: DataFrame, blocks: DataFrame,
                      blocking_keys: list[str],
-                     broadcast_threshold: int = 1_000_000) -> DataFrame:
+                     broadcast_threshold: int = 1_000_000,
+                     known_small: bool | None = None) -> DataFrame:
     """J1: prune dfB to dfA's block keys (R/fuzzylink.R:81-86).
 
     ``blocks`` is a distinct key set — usually small, so the default is a
@@ -100,8 +101,17 @@ def semi_join_blocks(dfB: DataFrame, blocks: DataFrame,
     the full aggregate) guards the broadcast: blocking on a
     high-cardinality key (e.g. a near-unique column) falls back to a
     shuffle semi join instead of collecting millions of keys onto the
-    driver."""
+    driver.
+
+    ``known_small`` skips the probe entirely: True -> broadcast hint
+    (caller declares low cardinality, e.g. blocking on a language code),
+    False -> plain shuffle semi join.
+    """
     withkey = add_block_key(dfB, blocking_keys)
+    if known_small is True:
+        return withkey.join(F.broadcast(blocks), on="block_key", how="left_semi")
+    if known_small is False:
+        return withkey.join(blocks, on="block_key", how="left_semi")
     n_bounded = blocks.count()
     if n_bounded > broadcast_threshold:
         log.warning(

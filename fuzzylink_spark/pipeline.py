@@ -101,7 +101,8 @@ def build_scored_pairs(
     blocks = distinct_blocks(dfA, blocking).persist()
     b_src = drop_incomplete(dfB, by, blocking, name="dfB")
     b = semi_join_blocks(b_src, blocks, blocking,
-                         broadcast_threshold=config.broadcast_threshold_rows)
+                         broadcast_threshold=config.broadcast_threshold_rows,
+                         known_small=config.blocks_are_small)
 
     # stage 2: distinct keys per side (P2); the deterministic encoder (S4')
     # runs inline inside each GEMM tile, so the embedding *table* is only
@@ -383,7 +384,8 @@ def fuzzylink_twopass(
     blocks = distinct_blocks(dfA, blocking).persist()
     b = semi_join_blocks(drop_incomplete(dfB, by, blocking, warn=False),
                          blocks, blocking,
-                         broadcast_threshold=config.broadcast_threshold_rows)
+                         broadcast_threshold=config.broadcast_threshold_rows,
+                         known_small=config.blocks_are_small)
     uA = unique_keys_per_block(a, by).persist()
     uB = unique_keys_per_block(b, by).persist()
     if blocking and uB.limit(1).count() == 0:

@@ -50,7 +50,8 @@ key = F.substring(F.col("text"), 1, 48).alias("name")
 side = F.pmod(F.xxhash64("source"), F.lit(2))
 dfa = docs.where(side == 0).select(key, "lang", "doc_id")
 dfb = docs.where(side == 1).select(key, "lang", "doc_id")
-cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128)
+cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128,
+                 blocks_are_small=True)  # lang: declared low-cardinality
 
 # steady-state: pay whole-stage-codegen compilation + Python-worker
 # startup once OUTSIDE the timer, identically at both parallelism levels

@@ -233,3 +233,18 @@ def test_twopass_matches_classic(spark):
     assert "match_probability" in res.pairs.columns
     # linked output keeps every dfA row
     assert res.linked.select("name").distinct().count() == dfa.select("name").distinct().count()
+
+
+def test_semi_join_known_small_declaration(spark):
+    """blocks_are_small declaration skips the cardinality probe but keeps
+    identical semantics in both directions."""
+    dfB = spark.createDataFrame(
+        [(f"k{i}", f"b{i % 5}") for i in range(30)], "name string, blk string"
+    )
+    blocks = spark.createDataFrame([(f"b{i}",) for i in range(3)], "block_key string")
+    base = sorted(r["name"] for r in semi_join_blocks(dfB, blocks, ["blk"]).collect())
+    small = sorted(r["name"] for r in
+                   semi_join_blocks(dfB, blocks, ["blk"], known_small=True).collect())
+    big = sorted(r["name"] for r in
+                 semi_join_blocks(dfB, blocks, ["blk"], known_small=False).collect())
+    assert base == small == big
