@@ -192,7 +192,7 @@ class JaroBatch:
         for yi, y in enumerate(ys):
             if y and len(y) <= 64:
                 self.ycodes[yi, : len(y)] = np.frombuffer(
-                    y.encode("utf-32-le"), dtype=np.uint32
+                    y.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
                 ).astype(np.int32)
         # per-char position bitmasks, built vectorized: position bits are
         # disjoint within a row, so a masked sum equals the OR
@@ -328,7 +328,7 @@ def _pad_codes(strs: list[str], maxlen: int) -> tuple[np.ndarray, np.ndarray]:
     for i, s in enumerate(strs):
         if s:
             codes[i, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
+                s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
             ).astype(np.int32)
     return codes, lens
 
@@ -447,7 +447,7 @@ def qgram_batch(a_strs: list[str], b_strs: list[str], q: int = 1
     a_lens = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
     b_lens = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
     all_codes = np.frombuffer(
-        ("".join(a_strs) + "".join(b_strs)).encode("utf-32-le"), dtype=np.uint32
+        ("".join(a_strs) + "".join(b_strs)).encode("utf-32-le", "surrogatepass"), dtype=np.uint32
     ).astype(np.int64)
     if len(all_codes) == 0:
         z = np.zeros(n)

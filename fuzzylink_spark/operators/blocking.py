@@ -40,9 +40,16 @@ def drop_incomplete(df: DataFrame, by: str, blocking_keys: list[str],
     subset = [by, *blocking_keys]
     if not warn:
         return df.na.drop(subset=subset)
+    # na.drop also removes NaN rows for float columns — count them too,
+    # or the warning under-reports on numeric blocking keys
+    float_cols = {f.name for f in df.schema.fields
+                  if f.dataType.typeName() in ("float", "double")}
     null_any = F.lit(False)
     for c in subset:
-        null_any = null_any | F.col(c).isNull()
+        cond = F.col(c).isNull()
+        if c in float_cols:
+            cond = cond | F.isnan(F.col(c))
+        null_any = null_any | cond
     obs = Observation()
     observed = df.observe(
         obs,

@@ -137,9 +137,16 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+def _check_dim(dim: int) -> None:
+    if dim < 4:
+        raise ValueError(f"feature dim must be >= 4 (got {dim}): the first "
+                         "3 slots are summary stats, the rest the histogram/bands")
+
+
 def audio_features(rate: int, x: np.ndarray, dim: int) -> np.ndarray:
     """Fixed-dim audio descriptor: [duration_s, rms, zero-crossing rate]
     + (dim-3) log-energy FFT bands."""
+    _check_dim(dim)
     out = np.zeros(dim, dtype=np.float32)
     if len(x) == 0:
         return out
@@ -155,6 +162,7 @@ def audio_features(rate: int, x: np.ndarray, dim: int) -> np.ndarray:
 def image_features(img: np.ndarray, dim: int) -> np.ndarray:
     """Fixed-dim image descriptor: [mean R, G, B] + (dim-3)-bin luma
     histogram (mass-normalized)."""
+    _check_dim(dim)
     out = np.zeros(dim, dtype=np.float32)
     if img.size == 0:
         return out
@@ -234,9 +242,12 @@ def extract_features(
     """media -> DataFrame[media_id, kind, feature array<float>].
 
     Real decode for BMP images and RIFF/WAV audio (stdlib + NumPy);
+    ``dim`` must be >= 4 (3 summary slots + histogram/bands);
     other payloads raise NotImplementedError naming the magic bytes.
     ``fake=True`` substitutes the deterministic hash featurizer for
     every payload (plumbing tests / codec-free environments)."""
+
+    _check_dim(dim)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -167,7 +167,7 @@ def build_scored_pairs(
             "blocking removed every dfB row: no overlap between dfA and dfB "
             f"on blocking keys {blocking}"
         )
-    if 0 < n_multi <= 100_000:
+    if n_multi > 0:
         # P4 pairwise distinct WITHOUT shuffling the pair table: a pair
         # duplicates only when BOTH keys share >= 2 blocks, so the exact
         # removal list — (block_id, a_id, b_id) of every non-minimal
@@ -175,8 +175,6 @@ def build_scored_pairs(
         # the SIDES. A broadcast LEFT ANTI join then drops the duplicate
         # rows map-side (measured: ~7 s of 24M-row dedup shuffle replaced
         # by a sub-second broadcast of a few-thousand-row list).
-        from pyspark.sql import Window
-
         mka = uA.join(F.broadcast(multi_keys), "key", "left_semi").select(
             F.xxhash64("block_key").alias("block_id"),
             F.xxhash64("key").alias("a_id"),
@@ -185,20 +183,33 @@ def build_scored_pairs(
             F.xxhash64("block_key").alias("block_id"),
             F.xxhash64("key").alias("b_id"),
         )
-        w = Window.partitionBy("a_id", "b_id").orderBy("block_id")
-        removal = (
-            mka.join(mkb, "block_id")
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") > 1)
-            .select("block_id", "a_id", "b_id")
+        # the removal list is a per-block cross product of multi-keys, so
+        # its size can be QUADRATICALLY larger than n_multi — bound the
+        # broadcast by the exact size estimate (two tiny per-block aggs)
+        est_row = (
+            mka.groupBy("block_id").agg(F.count("*").alias("na"))
+            .join(mkb.groupBy("block_id").agg(F.count("*").alias("nb")),
+                  "block_id")
+            .agg(F.sum(F.col("na") * F.col("nb")).alias("n")).first()
         )
-        scored = scored.join(F.broadcast(removal),
-                             ["block_id", "a_id", "b_id"], "left_anti")
-    elif n_multi > 0:
-        # degenerate blocking (multi-key set too large to broadcast):
-        # global dedup on the int ids — a fixed-width shuffle, never a
-        # string shuffle
-        scored = scored.dropDuplicates(["a_id", "b_id"])
+        n_removal_est = int(est_row["n"] or 0)
+        if n_removal_est <= 5_000_000:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("a_id", "b_id").orderBy("block_id")
+            removal = (
+                mka.join(mkb, "block_id")
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > 1)
+                .select("block_id", "a_id", "b_id")
+            )
+            scored = scored.join(F.broadcast(removal),
+                                 ["block_id", "a_id", "b_id"], "left_anti")
+        else:
+            # degenerate blocking (dense multi-key blocks): global dedup
+            # on the int ids — a fixed-width shuffle, never a string
+            # shuffle, and never a quadratic driver broadcast
+            scored = scored.dropDuplicates(["a_id", "b_id"])
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
                               repartition_cols=["block_id"])
     if config.work_dir:
@@ -433,11 +444,12 @@ def fuzzylink_twopass(
         "match",
         F.when(F.col("exact"), F.lit("Yes")).otherwise(F.lit(None).cast("string")),
     )
-    # multi-block duplicate pairs: same removal-list anti-join as the
-    # classic path, applied to the (small) accepted set
+    # multi-block duplicate pairs: dedup on the (small) accepted set
     accepted = accepted.dropDuplicates(["a_id", "b_id"])
     key_dict, block_dict = pair_dictionaries(uA, uB)
-    accepted = attach_pair_strings(accepted, key_dict, block_dict)
+    # persist: pass 2 is a full tile GEMM — without this, the metrics
+    # count and every later action on res.pairs/res.linked would re-run it
+    accepted = attach_pair_strings(accepted, key_dict, block_dict).persist()
     linked = assemble(dfA, dfB, accepted, config)
     metrics = {"cutoff": cutoff, "n_candidate_pairs": n_pairs,
                "n_accepted": accepted.count()}

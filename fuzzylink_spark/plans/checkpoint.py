@@ -33,18 +33,21 @@ def fingerprint(*parts) -> str:
 
 
 def data_fingerprint(df: DataFrame) -> str:
-    """Cheap input-identity fingerprint: source files + schema when the
-    DataFrame is file-backed (pure metadata, no scan), else schema + count.
+    """Cheap input-identity fingerprint, chained into the stage
+    fingerprints so re-running the same config and work_dir against
+    DIFFERENT inputs invalidates the checkpoints instead of silently
+    resuming the previous dataset's stages.
 
-    Chained into the stage fingerprints so re-running the same config and
-    work_dir against DIFFERENT inputs invalidates the checkpoints instead
-    of silently resuming the previous dataset's stages. Not bulletproof —
-    two filters of the same files with equal row counts collide — so a
-    work_dir should still be unique per logical input."""
+    File-backed inputs: source files + schema + the logical plan's
+    ``semanticHash`` (normalized expr ids — stable across sessions,
+    distinguishes different filters/projections of the same files) —
+    pure metadata, NO scan even at 10^12 rows. In-memory inputs
+    (createDataFrame) fall back to schema + count, since a local
+    relation's plan hash does not cover its data."""
     files = sorted(df.inputFiles())
     schema = df.schema.simpleString()
     if files:
-        return fingerprint("files", schema, files, df.count())
+        return fingerprint("files", schema, files, df.semanticHash())
     return fingerprint("counted", schema, df.count())
 
 

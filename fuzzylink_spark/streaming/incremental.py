@@ -67,6 +67,13 @@ def stream_dedup_with_counts(
     as in ``stream_exact_dedup``)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # timestamps arrive in the Arrow batch as tz-naive values localized to
+    # the SESSION timezone; capture it so the event-time anchor converts
+    # to true epoch ms (a +9h session tz would otherwise hold state 9h
+    # past the documented horizon)
+    session_tz = stream.sparkSession.conf.get("spark.sql.session.timeZone",
+                                              "UTC") or "UTC"
+
     # the watermark column must SURVIVE into the stateful operator (the
     # engine derives event-time timeouts from it) — keep it projected
     hashed = (
@@ -89,8 +96,10 @@ def stream_dedup_with_counts(
             batch_min = int(pdf[id_col].min())
             first = batch_min if first is None else min(first, batch_min)
             count += len(pdf)
-            max_event_ms = max(max_event_ms,
-                               int(pdf[ts_col].max().timestamp() * 1000))
+            ts_max = pd.Timestamp(pdf[ts_col].max())
+            if ts_max.tzinfo is None:
+                ts_max = ts_max.tz_localize(session_tz)
+            max_event_ms = max(max_event_ms, int(ts_max.timestamp() * 1000))
         state.update((int(first), int(count)))
         # anchor the eviction to EVENT time, not the (one-batch-lagging)
         # watermark: at the first batch the watermark is still epoch 0 and

@@ -59,3 +59,21 @@ def test_mixture2d_recovers_small_match_component(spark):
     assert model.pis[top] == pytest.approx(120 / len(X), rel=0.5)
     assert model.mus[top][0] == pytest.approx(0.85, abs=0.06)
     assert model.mus[top][1] == pytest.approx(0.96, abs=0.04)
+
+
+def test_cutoff_from_hist_matches_spark_program(spark):
+    """Two-pass mode's driver-side NumPy cutoff must agree with the Spark
+    running-sum program on the same weighted histogram."""
+    import random
+
+    from fuzzylink_spark.operators.cutoff import expected_f1_cutoff_from_hist
+
+    rng = random.Random(9)
+    cells = [(round(rng.random(), 3), rng.randint(1, 50)) for _ in range(300)]
+    ps = [c[0] for c in cells]
+    ws = [c[1] for c in cells]
+    rows = [(f"a{i}", f"b{i}", p) for i, (p, w) in enumerate(cells) for _ in range(w)]
+    df = spark.createDataFrame(rows, "A string, B string, match_probability double")
+    spark_cut = expected_f1_cutoff(df, label_col=None, exact=True)
+    np_cut = expected_f1_cutoff_from_hist(ps, ws)
+    assert abs(spark_cut - np_cut) < 1e-12, (spark_cut, np_cut)

@@ -107,6 +107,7 @@ def test_batch_kernels_match_scalar():
         )
         pairs.append((a, b))
     pairs.append(("x" * 70, "x" * 69 + "y"))  # scalar-fallback path
+    pairs.append(("ab\ud800cd", "abcd"))  # lone surrogate (surrogatepass)
     al = [p[0] for p in pairs]
     bl = [p[1] for p in pairs]
     l1, jac, cos = qgram_batch(al, bl)
