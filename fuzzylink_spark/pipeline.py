@@ -146,13 +146,36 @@ def build_scored_pairs(
         .where(F.col("nb") > 1)
         .select("key")
     )
+    mka = uA.join(F.broadcast(multi_keys), "key", "left_semi").select(
+        F.xxhash64("block_key").alias("block_id"),
+        F.xxhash64("key").alias("a_id"),
+    )
+    mkb = uB.join(F.broadcast(multi_keys), "key", "left_semi").select(
+        F.xxhash64("block_key").alias("block_id"),
+        F.xxhash64("key").alias("b_id"),
+    )
+
+    def _dedup_stats() -> tuple[int, int]:
+        n = multi_keys.count()
+        if n == 0:
+            return 0, 0
+        # removal-list size = per-block cross product of multi-keys — can
+        # be quadratically larger than n; compute the exact estimate from
+        # two tiny aggregates (still inside this overlapped thread)
+        row = (
+            mka.groupBy("block_id").agg(F.count("*").alias("na"))
+            .join(mkb.groupBy("block_id").agg(F.count("*").alias("nb")),
+                  "block_id")
+            .agg(F.sum(F.col("na") * F.col("nb")).alias("n")).first()
+        )
+        return n, int(row["n"] or 0)
 
     with _fut.ThreadPoolExecutor(max_workers=1) as ex:
-        check = ex.submit(multi_keys.count)
+        check = ex.submit(_dedup_stats)
         scored = cogrouped_pair_features(
             uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
             case_insensitive=config.exact_case_insensitive)
-        n_multi = check.result()
+        n_multi, n_removal_est = check.result()
     # the multi-block check fully scanned both sides, so the P1 drop
     # observations are complete — surface the reference's warning now
     from fuzzylink_spark.operators.blocking import p1_drop_warning
@@ -174,25 +197,9 @@ def build_scored_pairs(
         # common block — is computable from the tiny multi-key slices of
         # the SIDES. A broadcast LEFT ANTI join then drops the duplicate
         # rows map-side (measured: ~7 s of 24M-row dedup shuffle replaced
-        # by a sub-second broadcast of a few-thousand-row list).
-        mka = uA.join(F.broadcast(multi_keys), "key", "left_semi").select(
-            F.xxhash64("block_key").alias("block_id"),
-            F.xxhash64("key").alias("a_id"),
-        )
-        mkb = uB.join(F.broadcast(multi_keys), "key", "left_semi").select(
-            F.xxhash64("block_key").alias("block_id"),
-            F.xxhash64("key").alias("b_id"),
-        )
-        # the removal list is a per-block cross product of multi-keys, so
-        # its size can be QUADRATICALLY larger than n_multi — bound the
-        # broadcast by the exact size estimate (two tiny per-block aggs)
-        est_row = (
-            mka.groupBy("block_id").agg(F.count("*").alias("na"))
-            .join(mkb.groupBy("block_id").agg(F.count("*").alias("nb")),
-                  "block_id")
-            .agg(F.sum(F.col("na") * F.col("nb")).alias("n")).first()
-        )
-        n_removal_est = int(est_row["n"] or 0)
+        # by a sub-second broadcast of a few-thousand-row list); the
+        # broadcast is bounded by the cross-product size estimate computed
+        # in the overlapped stats thread above.
         if n_removal_est <= 5_000_000:
             from pyspark.sql import Window
 
