@@ -454,6 +454,19 @@ def qgram_batch(a_strs: list[str], b_strs: list[str], q: int = 1
         return z, z, z
     alphabet, compact = np.unique(all_codes, return_inverse=True)
     k = len(alphabet)
+    if k > 1024:
+        # dense (n, k) count matrices would be GBs on unicode-heavy
+        # batches (e.g. CJK keys) — fall back to the per-pair dict path,
+        # O(total chars) memory
+        l1 = np.fromiter((qgram_dist(a, b, 1) for a, b in zip(a_strs, b_strs)),
+                         dtype=np.float64, count=n)
+        jac = np.fromiter(
+            (qgram_jaccard_dist(a, b, 1) for a, b in zip(a_strs, b_strs)),
+            dtype=np.float64, count=n)
+        cos = np.fromiter(
+            (qgram_cosine_dist(a, b, 1) for a, b in zip(a_strs, b_strs)),
+            dtype=np.float64, count=n)
+        return l1, jac, cos
     rows_a = np.repeat(np.arange(n), a_lens)
     rows_b = np.repeat(np.arange(n), b_lens)
     na = int(a_lens.sum())

@@ -144,14 +144,18 @@ def expected_f1_cutoff(
     return (best_p + float(prev)) / 2.0
 
 
-def expected_f1_cutoff_from_hist(ps, ws, fallback: float = 0.5) -> float:
+def expected_f1_cutoff_from_hist(ps, ws, fallback: float = 0.5,
+                                 yes_mass: float = 0.0) -> float:
     """Driver-side mirror of the running-sum program over an ALREADY
     bounded weighted (p, weight) histogram of unlabeled pairs (two-pass
     mode: pass 1 returns <= bins^2 cells, so no Spark job is needed to
     pick the cutoff). Same semantics as ``expected_f1_cutoff``:
-    expectations only (no labels), argmax F1, precision-favoring tie on
-    highest p, and a cutoff placed just below the argmax so the optimal
-    set survives the strict ``p > cutoff`` accept filter."""
+    expectations for unlabeled pairs, plus ``yes_mass`` — the count of
+    labeled-Yes/exact pairs, which are accepted at EVERY cutoff and count
+    toward tp unconditionally (matching ``_f1_frame``'s full-window Yes
+    term); argmax F1, precision-favoring tie on highest p, and a cutoff
+    placed just below the argmax so the optimal set survives the strict
+    ``p > cutoff`` accept filter."""
     import numpy as np
 
     ps = np.asarray(ps, dtype=np.float64)
@@ -164,7 +168,7 @@ def expected_f1_cutoff_from_hist(ps, ws, fallback: float = 0.5) -> float:
     tp_c = w * uniq
     fp_c = w * (1 - uniq)
     fn = np.concatenate([[0.0], np.cumsum(tp_c)[:-1]])         # mass below
-    tp = np.cumsum(tp_c[::-1])[::-1]                           # mass at/above
+    tp = np.cumsum(tp_c[::-1])[::-1] + float(yes_mass)         # mass at/above
     fp = np.cumsum(fp_c[::-1])[::-1]
     with np.errstate(invalid="ignore", divide="ignore"):
         prec = tp / (tp + fp)

@@ -44,10 +44,14 @@ def exact_match_col(case_insensitive: bool = True) -> F.Column:
 
 
 class ExactLabeler:
+    def __init__(self, case_insensitive: bool = True):
+        self.case_insensitive = case_insensitive
+
     def label_pairs(self, pairs: DataFrame) -> DataFrame:
         return pairs.select(
             "A", "B",
-            F.when(exact_match_col(), F.lit("Yes")).otherwise(F.lit(None).cast("string")).alias("match"),
+            F.when(exact_match_col(self.case_insensitive), F.lit("Yes"))
+            .otherwise(F.lit(None).cast("string")).alias("match"),
         )
 
 
@@ -55,7 +59,9 @@ class GoldLabeler:
     """Deterministic oracle from a gold-pair table (test fixtures replace
     the reference's LLM oracle per SURVEY.md §5)."""
 
-    def __init__(self, gold: DataFrame, a_col: str = "a_name", b_col: str = "b_name"):
+    def __init__(self, gold: DataFrame, a_col: str = "a_name", b_col: str = "b_name",
+                 case_insensitive: bool = True):
+        self.case_insensitive = case_insensitive
         self.gold = gold.select(
             F.lower(F.col(a_col)).alias("_ga"), F.lower(F.col(b_col)).alias("_gb")
         ).distinct()
@@ -69,7 +75,8 @@ class GoldLabeler:
         )
         return joined.select(
             "A", "B",
-            F.when(exact_match_col() | F.col("_ga").isNotNull(), F.lit("Yes"))
+            F.when(exact_match_col(self.case_insensitive)
+                   | F.col("_ga").isNotNull(), F.lit("Yes"))
             .otherwise(F.lit("No"))
             .alias("match"),
         )
@@ -81,15 +88,17 @@ class CallbackLabeler:
     the reference does (first word, title case -> R/check_match.R:119)."""
 
     def __init__(self, fn: Callable[[list[tuple[str, str]]], list[str]],
-                 spark=None):
+                 spark=None, case_insensitive: bool = True):
         self.fn = fn
         self.spark = spark
+        self.case_insensitive = case_insensitive
 
     def label_pairs(self, pairs: DataFrame) -> DataFrame:
         spark = self.spark or pairs.sparkSession
         asked = pairs.select("A", "B").distinct()
-        exact = asked.where(exact_match_col()).withColumn("raw", F.lit("Yes"))
-        rest = asked.where(~exact_match_col())
+        em = exact_match_col(self.case_insensitive)
+        exact = asked.where(em).withColumn("raw", F.lit("Yes"))
+        rest = asked.where(~em)
         rows = rest.collect()  # labeler batches are budget-bounded (max_labels)
         replies = self.fn([(r["A"], r["B"]) for r in rows]) if rows else []
         if len(replies) != len(rows):

@@ -81,7 +81,8 @@ def build_scored_pairs(
     by, blocking = config.by, config.blocking_keys
     ckpt = ckpt or CheckpointManager(spark, config.work_dir, config.resume)
     base_fp = fingerprint(config.by, config.blocking_keys, config.embedding_dim,
-                          config.encoder_ngrams, config.encoder_seed, config.seed)
+                          config.encoder_ngrams, config.encoder_seed, config.seed,
+                          config.exact_case_insensitive)
     if config.work_dir:
         # chain the INPUT identity into every stage fingerprint, so the same
         # work_dir + config on different data invalidates instead of
@@ -146,11 +147,14 @@ def build_scored_pairs(
         .where(F.col("nb") > 1)
         .select("key")
     )
-    mka = uA.join(F.broadcast(multi_keys), "key", "left_semi").select(
+    # no broadcast HINT on multi_keys: its size is unknown (could be
+    # O(distinct keys) under multi-valued blocking) — AQE broadcasts it
+    # when the runtime stats say it fits and shuffle-joins otherwise
+    mka = uA.join(multi_keys, "key", "left_semi").select(
         F.xxhash64("block_key").alias("block_id"),
         F.xxhash64("key").alias("a_id"),
     )
-    mkb = uB.join(F.broadcast(multi_keys), "key", "left_semi").select(
+    mkb = uB.join(multi_keys, "key", "left_semi").select(
         F.xxhash64("block_key").alias("block_id"),
         F.xxhash64("key").alias("b_id"),
     )
@@ -240,6 +244,9 @@ def build_scored_pairs(
         seed_pairs = uniform_sample_n(seed_pairs, config.initial_train_n, config.seed)
         labels = labeler.label_pairs(seed_pairs)
         scored = merge_labels(scored, labels)
+    # expose the persisted intermediates so long-lived sessions can release
+    # them once a downstream result is materialized (fuzzylink() does)
+    scored._link_intermediates = [uA, uB, blocks]
     return scored
 
 
@@ -264,6 +271,12 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
     else:
         nontrivial_pred = F.col("A") != F.col("B")
     if config.learner == "rf":
+        if "A" not in blended.columns:
+            raise ValueError(
+                "learner='rf' needs the string-attached pair table (the "
+                "lexical feature UDFs read the key strings); call "
+                "build_scored_pairs with attach_strings=True"
+            )
         # the reference's ranger learner uses the full lexical feature set
         # (R/fuzzylink.R:179-186); compute it once here (Arrow batch pass)
         from fuzzylink_spark.functions.strdist import pair_features_udf, soundex_neq_col
@@ -439,8 +452,21 @@ def fuzzylink_twopass(
     model.features = ("sim", "jw")
     post = model.posterior_fn()
     p_cells = post(hist[:, 0], hist[:, 1])
+    # exact pairs are excluded from the histogram but are accepted at
+    # EVERY cutoff — count them from the sides (tiny join) and fold the
+    # mass into tp, matching the classic _f1_frame objective
+    ci = (F.xxhash64(F.lower("key")) if config.exact_case_insensitive
+          else F.xxhash64("key"))
+    ea = uA.select("block_key", ci.alias("ci")).groupBy("block_key", "ci").agg(
+        F.count("*").alias("na"))
+    eb = uB.select("block_key", ci.alias("ci")).groupBy("block_key", "ci").agg(
+        F.count("*").alias("nb"))
+    exact_row = ea.join(eb, ["block_key", "ci"]).agg(
+        F.sum(F.col("na") * F.col("nb")).alias("n")).first()
+    n_exact = float(exact_row["n"] or 0)
     cutoff = expected_f1_cutoff_from_hist(p_cells, hist[:, 2],
-                                          fallback=config.fallback_cutoff)
+                                          fallback=config.fallback_cutoff,
+                                          yes_mass=n_exact)
 
     # pass 2: in-kernel scoring, only accepted pairs ever leave a tile
     accepted = cogrouped_pair_features(
@@ -501,6 +527,11 @@ def fuzzylink(
             "n_pairs": scored.count(),
             "n_accepted": accepted.count(),
         }
+        # scored is materialized in cache now — the upstream side caches
+        # (uA/uB/blocks) are dead weight; release them so repeated calls
+        # in one session don't accumulate storage
+        for df in getattr(pairs, "_link_intermediates", []):
+            df.unpersist()
     finally:
         scored.unpersist()
     ckpt.write_lineage()

@@ -3,9 +3,10 @@
 The reference is a single in-memory run; our contract adds
 resume-from-checkpoint batch semantics: every pipeline stage persists its
 output as parquet under ``work_dir/<stage>/`` keyed by a fingerprint of
-(stage name, config, upstream fingerprints). Re-running with the same
-fingerprint reads the table back instead of recomputing; changing any
-upstream invalidates everything downstream (the fingerprint chains).
+(stage name, config, INPUT identity via ``data_fingerprint``, upstream
+fingerprints). Re-running with the same fingerprint reads the table back
+instead of recomputing; changing any upstream — including the input data
+itself — invalidates everything downstream (the fingerprint chains).
 
 Two side tables are maintained:
 - ``_lineage``: one row per stage run (stage, fingerprint, parent
@@ -41,14 +42,26 @@ def data_fingerprint(df: DataFrame) -> str:
     File-backed inputs: source files + schema + the logical plan's
     ``semanticHash`` (normalized expr ids — stable across sessions,
     distinguishes different filters/projections of the same files) —
-    pure metadata, NO scan even at 10^12 rows. In-memory inputs
-    (createDataFrame) fall back to schema + count, since a local
-    relation's plan hash does not cover its data."""
+    pure metadata, NO scan even at 10^12 rows. Known limitation: a file
+    overwritten IN PLACE under the same name is not detected (neither
+    mtime nor content is hashed) — use fresh paths or snapshot ids for
+    mutable locations. In-memory inputs (createDataFrame) use schema +
+    count + an order-insensitive content checksum (they are driver-local,
+    so the scan is trivially cheap)."""
+    from pyspark.sql import functions as F
+
     files = sorted(df.inputFiles())
     schema = df.schema.simpleString()
     if files:
         return fingerprint("files", schema, files, df.semanticHash())
-    return fingerprint("counted", schema, df.count())
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a long sum of 2^63-range hashes overflows
+        # under ANSI mode
+        F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))
+              .cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return fingerprint("checksum", schema, row["n"], row["h"])
 
 
 @dataclass

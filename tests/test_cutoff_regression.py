@@ -77,3 +77,27 @@ def test_cutoff_from_hist_matches_spark_program(spark):
     spark_cut = expected_f1_cutoff(df, label_col=None, exact=True)
     np_cut = expected_f1_cutoff_from_hist(ps, ws)
     assert abs(spark_cut - np_cut) < 1e-12, (spark_cut, np_cut)
+
+
+def test_cutoff_from_hist_yes_mass_matches_labeled_program(spark):
+    """With exact/labeled-Yes pairs folded in as yes_mass, the driver-side
+    cutoff must match the Spark labeled running-sum program."""
+    import random
+
+    from fuzzylink_spark.operators.cutoff import expected_f1_cutoff_from_hist
+
+    rng = random.Random(4)
+    cells = [(round(rng.uniform(0.01, 0.99), 3), rng.randint(1, 30))
+             for _ in range(200)]
+    n_yes = 500
+    rows = [(f"a{i}", f"b{i}", p, None)
+            for i, (p, w) in enumerate(cells) for _ in range(w)]
+    rows += [(f"e{i}", f"e{i}", 1.0, "Yes") for i in range(n_yes)]
+    df = spark.createDataFrame(
+        rows, "A string, B string, match_probability double, match string"
+    )
+    spark_cut = expected_f1_cutoff(df, exact=True)
+    np_cut = expected_f1_cutoff_from_hist(
+        [c[0] for c in cells], [c[1] for c in cells], yes_mass=n_yes
+    )
+    assert abs(spark_cut - np_cut) < 1e-12, (spark_cut, np_cut)
