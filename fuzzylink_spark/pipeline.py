@@ -486,6 +486,10 @@ def fuzzylink_twopass(
     linked = assemble(dfA, dfB, accepted, config)
     metrics = {"cutoff": cutoff, "n_candidate_pairs": n_pairs,
                "n_accepted": accepted.count()}
+    # the accepted set is materialized in cache now — release the side
+    # caches so repeated calls in one session don't accumulate storage
+    for df in (uA, uB, blocks):
+        df.unpersist()
     return LinkResult(linked=linked, pairs=accepted, cutoff=cutoff,
                       model=model, metrics=metrics)
 
