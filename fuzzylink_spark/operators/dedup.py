@@ -60,29 +60,38 @@ _MINHASH_P = np.uint64((1 << 31) - 1)  # Mersenne prime; crc32 < 2^32, a*h < 2^6
 def minhash_udf(num_hashes: int = 32, shingle: int = 5, seed: int = 7):
     """Series→Series pandas UDF: text -> array<long> MinHash signature.
 
-    h_i(x) = (a_i * crc32(shingle) + b_i) mod p, min over shingles — the
-    classic affine permutation family, vectorized as one NumPy broadcast
-    per document. An all-Catalyst formulation (nested transform over
-    shingles × hashes) is expressible but ~20× slower in practice: higher-
-    order array expressions allocate per element and defeat codegen, so
-    this is exactly the sanctioned Arrow-batch slow path.
+    h_i(x) = (a_i * H(shingle) + b_i) mod p, min over shingles — the
+    classic affine permutation family. Shingle hashing is fully
+    vectorized: H is a polynomial rolling hash over the utf-8 BYTES
+    (a sliding-window dot product with natural mod-2^64 wraparound —
+    one NumPy pass per document instead of a per-shingle Python loop;
+    byte shingles instead of char shingles is a consistent-estimator
+    change, not a semantic one, since both documents shingle the same
+    way). An all-Catalyst formulation (nested transform over shingles ×
+    hashes) is expressible but ~20× slower in practice: higher-order
+    array expressions allocate per element and defeat codegen, so this
+    is exactly the sanctioned Arrow-batch slow path.
     """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MINHASH_P), num_hashes, dtype=np.uint64)
     b = rng.integers(0, int(_MINHASH_P), num_hashes, dtype=np.uint64)
     empty = [int(_MINHASH_P)] * num_hashes
+    base = np.uint64(1_000_003)
+    pows = base ** np.arange(shingle - 1, -1, -1, dtype=np.uint64)  # wraps
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
         out = []
         for t in texts:
-            t = (t or "").lower()
-            if len(t) < shingle:
+            bts = np.frombuffer((t or "").lower().encode("utf-8"), dtype=np.uint8)
+            if len(bts) < shingle:
                 out.append(empty)
                 continue
-            hs = {zlib.crc32(t[i:i + shingle].encode("utf-8"))
-                  for i in range(len(t) - shingle + 1)}
-            h = np.fromiter(hs, dtype=np.uint64, count=len(hs)) % _MINHASH_P
+            windows = sliding_window_view(bts, shingle).astype(np.uint64)
+            h = np.unique((windows * pows[None, :]).sum(axis=1, dtype=np.uint64))
+            h %= _MINHASH_P
             sig = (a[None, :] * h[:, None] + b[None, :]) % _MINHASH_P
             out.append([int(x) for x in sig.min(axis=0)])
         return pd.Series(out)
