@@ -181,6 +181,105 @@ def make_link_batch_fn(
     return process_batch
 
 
+def make_cluster_update_fn(spark, assignment_dir: str):
+    """foreachBatch callback maintaining an INCREMENTAL connected-components
+    assignment table (id -> component, component = min id) under
+    ``assignment_dir`` as accepted-match edges stream in.
+
+    Per micro-batch (edges DataFrame[src, dst]):
+      1. map both endpoints through the current assignment (unknown ids
+         root themselves);
+      2. union-find on the DELTA root pairs on the driver — bounded by the
+         batch size, not the graph size;
+      3. rewrite only the rows of components whose root changed, plus the
+         new ids, appended with the batch id (latest batch wins on read).
+
+    Per-batch cost is O(batch + members of touched components); the
+    append-only layout means reads resolve the latest version per id
+    (``read_cluster_assignment``) and ``compact_cluster_assignment``
+    rewrites it to one row per id. At cluster scale, partition the
+    assignment table by a component hash so step 3 prunes partitions."""
+    from fuzzylink_spark.operators.clustering import _driver_union_find
+
+    def process_batch(edges: DataFrame, batch_id: int) -> None:
+        if edges.isEmpty():
+            return
+        batch_edges = [(r["src"], r["dst"])
+                       for r in edges.select("src", "dst").collect()]
+        endpoints = sorted({n for e in batch_edges for n in e})
+        try:
+            current = read_cluster_assignment(spark, assignment_dir)
+        except Exception:  # first batch: no table yet
+            current = None
+        if current is not None:
+            ep_df = spark.createDataFrame([(n,) for n in endpoints], "id long")
+            cur_ep = {
+                r["id"]: r["component"]
+                for r in current.join(F.broadcast(ep_df), "id").collect()
+            }
+        else:
+            cur_ep = {}
+        # union-find over the DELTA root pairs only (bounded by the batch)
+        root_pairs = [
+            (cur_ep.get(s, s), cur_ep.get(d, d)) for s, d in batch_edges
+        ]
+        merged = dict(_driver_union_find(root_pairs))  # old root -> new root
+        changed = {old: new for old, new in merged.items() if old != new}
+        new_rows = [
+            (n, merged.get(cur_ep.get(n, n), cur_ep.get(n, n)))
+            for n in endpoints if n not in cur_ep
+        ]
+        appends = []
+        if changed and current is not None:
+            # rewrite ONLY the members of components whose root changed —
+            # a broadcast join against the (batch-bounded) remap table,
+            # never a full-table collect
+            remap = spark.createDataFrame(
+                list(changed.items()), "component long, _new long"
+            )
+            appends.append(
+                current.join(F.broadcast(remap), "component")
+                .select("id", F.col("_new").alias("component"),
+                        F.lit(batch_id).cast("long").alias("batch_id"))
+            )
+        if new_rows:
+            appends.append(spark.createDataFrame(
+                [(n, c, batch_id) for n, c in new_rows],
+                schema="id long, component long, batch_id long",
+            ))
+        if appends:
+            out = appends[0]
+            for df in appends[1:]:
+                out = out.unionByName(df)
+            out.write.mode("append").parquet(assignment_dir)
+
+    return process_batch
+
+
+def read_cluster_assignment(spark, assignment_dir: str) -> DataFrame:
+    """Latest (id, component) per id from the append-only assignment log."""
+    from pyspark.sql import Window
+
+    log_df = spark.read.parquet(assignment_dir)
+    w = Window.partitionBy("id").orderBy(F.desc("batch_id"))
+    return (
+        log_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "component")
+    )
+
+
+def compact_cluster_assignment(spark, assignment_dir: str) -> None:
+    """Rewrite the append-only assignment log to one row per id (run
+    periodically so read-time version resolution stays cheap)."""
+    latest = read_cluster_assignment(spark, assignment_dir).withColumn(
+        "batch_id", F.lit(-1).cast("long")
+    ).collect()
+    spark.createDataFrame(
+        latest, schema="id long, component long, batch_id long"
+    ).write.mode("overwrite").parquet(assignment_dir)
+
+
 def stream_link(
     stream: DataFrame,
     static_side: DataFrame,

@@ -162,3 +162,41 @@ def test_stream_dedup_with_counts_stateful(spark, tmp_path):
     by_count = sorted(latest.values())
     assert (2, 3) in by_count     # 'dup content': first id 2, seen 3x across batches
     assert (9, 1) in by_count     # 'unique one'
+
+
+def test_incremental_cluster_maintenance(spark, tmp_path):
+    """Streaming union-find sink: components merge correctly across
+    micro-batches, touching only changed components per batch."""
+    from fuzzylink_spark.streaming.incremental import (
+        compact_cluster_assignment,
+        make_cluster_update_fn,
+        read_cluster_assignment,
+    )
+
+    adir = str(tmp_path / "assign")
+    fn = make_cluster_update_fn(spark, adir)
+
+    def batch(edges, bid):
+        fn(spark.createDataFrame(edges, "src long, dst long"), bid)
+
+    batch([(1, 2), (3, 4)], 0)          # {1,2}, {3,4}
+    a = {r["id"]: r["component"]
+         for r in read_cluster_assignment(spark, adir).collect()}
+    assert a == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    batch([(2, 3)], 1)                   # merge -> {1,2,3,4}
+    a = {r["id"]: r["component"]
+         for r in read_cluster_assignment(spark, adir).collect()}
+    assert a == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    batch([(10, 11), (4, 10)], 2)        # extend the merged component
+    a = {r["id"]: r["component"]
+         for r in read_cluster_assignment(spark, adir).collect()}
+    assert a == {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 11: 1}
+
+    compact_cluster_assignment(spark, adir)
+    log_rows = spark.read.parquet(adir).count()
+    assert log_rows == 6  # one row per id after compaction
+    a = {r["id"]: r["component"]
+         for r in read_cluster_assignment(spark, adir).collect()}
+    assert a == {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 11: 1}
