@@ -442,13 +442,28 @@ def _q_ngram_jaccard_docs(spark, sf):
     )
 
 
+# CJK/Cyrillic fixture rows appended to the documents table on BOTH
+# engines: script-range detection (ja/ko/zh/ru) is exercised against the
+# same DuckDB logic, not just the Latin stopword vote.
+_LANG_FIXTURE_ROWS = [
+    (9000001, "这是一个中文测试文档 我们在这里写一些汉字内容"),
+    (9000002, "これは日本語のテスト文書です ひらがなとカタカナと漢字"),
+    (9000003, "이것은 한국어 테스트 문서입니다 한글 문자만 있습니다"),
+    (9000004, "это русский тестовый документ написанный кириллицей"),
+    (9000005, "the quick brown fox is in the barn with the dog"),
+]
+
+
 def _q_lang_id(spark, sf):
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     from fuzzylink_spark.functions.text import lang_id
-    docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_LANG_FIXTURE_ROWS, "doc_id long, text string")
+    return docs.unionByName(extra).select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
 
 
 # --- rows-only checks (non-SQL-expressible: iterative / hash-specific) -------
@@ -754,6 +769,85 @@ def _q_twopass_accepted(spark, sf):
     return res.pairs.select("A", "B", F.round("match_probability", 6).alias("p"))
 
 
+def _q_neardup_pairwise_f1(spark, sf):
+    """Cluster-quality evaluation (pairwise precision/recall/F1) of the
+    near-dup pipeline against PLANTED gold duplicates: every 10th doc
+    re-appears with a clipped tail + extra token (shingle-Jaccard ~0.8+),
+    LSH->verify->CC clusters are expanded to intra-cluster pairs and
+    scored against the planted pairs via ``clustering.pairwise_f1``.
+    Deterministic (seeded MinHash, hash-derived planting) — rows-only."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.clustering import (
+        clusters_to_pairs,
+        connected_components,
+        pairwise_f1,
+    )
+    from fuzzylink_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0)
+    dups = planted.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("concat(substring(text, 1, greatest(length(text) - 25, 50)),"
+               " ' zq')").alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+    cand = lsh_candidate_pairs(corpus, num_hashes=32, bands=16, shingle=5)
+    verified = ngram_jaccard_pairs(corpus, cand, threshold=0.6)
+    assign = connected_components(
+        verified.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    pred = clusters_to_pairs(assign)
+    gold = planted.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b"))
+    m = pairwise_f1(pred, gold)
+    return spark.createDataFrame(
+        [(round(m["precision"], 6), round(m["recall"], 6), round(m["f1"], 6),
+          int(m["tp"]), int(m["pred"]), int(m["gold"]))],
+        "precision double, recall double, f1 double, tp long, pred long, gold long",
+    )
+
+
+def _q_twopass_al_accepted(spark, sf):
+    """Two-pass linkage WITH active learning (round-3): pass 2 emits the
+    bounded uncertainty band + per-A top-k pool, the AL loop labels/refits
+    a logit on it, the pass-1 histogram is re-scored for a new cutoff, and
+    a final in-kernel pass emits the accepted set — the full pair table
+    never materializes. Sharply-separable fixture (true pairs sim>=0.8,
+    decoys <=0.3) so the accepted set is invariant to which pairs the
+    seeded sampler labels. Rows-only."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.config import LinkConfig
+    from fuzzylink_spark.operators.labeling import GoldLabeler
+    from fuzzylink_spark.pipeline import fuzzylink_twopass
+
+    # random-hex keys: distinct keys share no n-grams, so true variants
+    # (28-char shared prefix) separate sharply from decoys (different
+    # md5); the accepted set is exactly the 80 gold pairs regardless of
+    # which pairs the seeded sampler labels
+    base = spark.range(80).select(
+        F.md5(F.col("id").cast("string")).alias("name"))
+    dfa = base
+    true_b = base.select(
+        F.concat(F.substring("name", 1, 28), F.lit(" jr")).alias("name"))
+    decoy_b = spark.range(1000, 1080).select(
+        F.md5(F.col("id").cast("string")).alias("name"))
+    dfb = true_b.unionByName(decoy_b)
+    gold = base.select(
+        F.col("name").alias("a_name"),
+        F.concat(F.substring("name", 1, 28), F.lit(" jr")).alias("b_name"),
+    )
+    cfg = LinkConfig(by="name", learner="logit", max_labels=500,
+                     initial_train_n=100, al_batch=50, embedding_dim=128)
+    res = fuzzylink_twopass(spark, dfa, dfb, by="name", config=cfg,
+                            labeler=GoldLabeler(gold))
+    return res.pairs.select("A", "B")
+
+
 def _q_em_mixture(spark, sf):
     import sys
     if _REPO not in sys.path:
@@ -799,12 +893,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_logistic_score": _q_m3_logistic_score,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "lang_id": _q_lang_id,
+        "connected_components": _q_connected_components,  # WITH RECURSIVE oracle
         # rows-only (iterative / hash-function-specific; no ANSI-SQL oracle)
         "lexical_features": _q_lexical_features,
         "o3_weighted_sample": _q_o3_weighted_sample,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
-        "connected_components": _q_connected_components,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
@@ -816,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_dedup": _q_near_dup_dedup,
         "mutual_best_1to1": _q_mutual_best,
         "ivf_ann_topk": _q_ivf_topk,
+        "neardup_pairwise_f1": _q_neardup_pairwise_f1,
+        "twopass_al_accepted": _q_twopass_al_accepted,
     }
 
 
@@ -1020,28 +1116,72 @@ def oracle_sql() -> dict[str, str]:
             FROM paired WHERE b IS NOT NULL
         """,
         "lang_id": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 x -> x != '') AS t
-              FROM documents
+            WITH alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (9000001, '这是一个中文测试文档 我们在这里写一些汉字内容'),
+                (9000002, 'これは日本語のテスト文書です ひらがなとカタカナと漢字'),
+                (9000003, '이것은 한국어 테스트 문서입니다 한글 문자만 있습니다'),
+                (9000004, 'это русский тестовый документ написанный кириллицей'),
+                (9000005, 'the quick brown fox is in the barn with the dog')
+              ) AS v(doc_id, text)
+            ), feat AS (
+              SELECT doc_id, text,
+                CAST(greatest(length(regexp_replace(text, '\s', '', 'g')), 1)
+                     AS DOUBLE) AS n_ns,
+                CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) AS han,
+                CAST(len(regexp_extract_all(text, '[぀-ゟ]'))
+                   + len(regexp_extract_all(text, '[゠-ヿ]')) AS DOUBLE) AS kana,
+                CAST(len(regexp_extract_all(text, '[가-ퟯ]')) AS DOUBLE) AS hangul,
+                CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS DOUBLE) AS cyr,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x != '') AS t
+              FROM alldocs
             ), scores AS (
-              SELECT doc_id,
+              SELECT doc_id, n_ns, han, kana, hangul, cyr,
                 len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','with'))) AS s_en,
                 len(list_filter(t, x -> x IN ('el','la','de','que','los','una','por','con'))) AS s_es,
                 len(list_filter(t, x -> x IN ('le','la','les','des','une','est','dans','pour'))) AS s_fr,
-                len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
-                len(list_filter(t, x -> x IN ('de5','shi4','le5'))) AS s_zh
-              FROM toks
+                len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de
+              FROM feat
             )
             SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
-                        WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
-                        WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
-                        WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
-                        WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
-                        ELSE 'zh' END AS lang_pred
+                   CASE WHEN kana > 0 AND (kana + han) / n_ns > 0.15 THEN 'ja'
+                        WHEN hangul / n_ns > 0.15 THEN 'ko'
+                        WHEN han / n_ns > 0.15 THEN 'zh'
+                        WHEN cyr / n_ns > 0.15 THEN 'ru'
+                        WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                        ELSE 'de' END AS lang_pred
             FROM scores
+        """,
+        # min-label transitive closure via WITH RECURSIVE: component(id) =
+        # min id reachable over the symmetrized edge set — the exact
+        # semantics of the large/small-star contraction, independently
+        # derived, so the engine's most complex iterative operator gets a
+        # hard cross-engine signal
+        "connected_components": """
+            WITH RECURSIVE edges AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       lead(doc_id) OVER (PARTITION BY lang, source
+                                          ORDER BY doc_id) AS dst
+                FROM documents
+              ) WHERE dst IS NOT NULL
+            ), sym AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT dst AS src, src AS dst FROM edges
+            ), reach(id, r) AS (
+              SELECT src AS id, src AS r FROM sym
+              UNION
+              SELECT reach.id, sym.dst AS r
+              FROM reach JOIN sym ON sym.src = reach.r
+            )
+            SELECT min(r) AS component, id FROM reach GROUP BY id
         """,
         "mutual_best_1to1": """
             WITH ranked AS (

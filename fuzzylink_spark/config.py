@@ -16,9 +16,17 @@ class LinkConfig:
     # --- matching surface (reference R/fuzzylink.R:32-45) ---
     by: str = "name"
     blocking_keys: list[str] = field(default_factory=list)
-    record_type: str = "entity"           # prompt context in reference; metadata here
+    record_type: str = "entity"           # prompt context (R/fuzzylink.R:34; passed to labelers)
+    instructions: str | None = None       # extra prompt instructions (R/check_match.R:50-54)
     learner: str = "em"                   # 'em' (mixture, offline) | 'logit' (labeled fit)
     features: list[str] = field(default_factory=lambda: ["sim", "jw"])
+    # learner='rf' scale mode: False (default) fits AND scores on the
+    # in-tile numeric-IR features (sim, jw) with compiled-tree Catalyst
+    # scoring — no string attach, no per-pair Python. True restores the
+    # reference's full lexical feature set (osa/lcs/q-gram/soundex,
+    # R/fuzzylink.R:179-186): an Arrow-batch DP pass over EVERY candidate
+    # pair — bounded-input mode only.
+    rf_full_features: bool = False
     max_labels: int = 10_000              # label budget (R/fuzzylink.R:43)
     embedding_dim: int = 256              # R/fuzzylink.R:39
     seed: int = 42

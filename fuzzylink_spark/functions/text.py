@@ -85,7 +85,10 @@ def char_ngrams_col(col: Column | str, n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# language ID (n-gram heuristic over stopword hits)
+# language ID: Unicode script-range ratios first (CJK / Cyrillic — these
+# languages are not space-delimited or use non-Latin scripts, so stopword
+# votes can never see them), then the stopword vote for Latin-script
+# languages. Pure Catalyst throughout (regexp_count + arrays).
 # ---------------------------------------------------------------------------
 
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -93,26 +96,56 @@ _LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
     "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
-    "zh": ["de5", "shi4", "le5"],  # placeholder pinyin-ish markers
 }
+
+# script ranges as literal characters: identical char-class syntax in Java
+# regex (Spark) and RE2 (DuckDB oracle)
+_SCRIPT_RANGES: dict[str, str] = {
+    "han": f"[{chr(0x4E00)}-{chr(0x9FFF)}]",
+    "hiragana": f"[{chr(0x3040)}-{chr(0x309F)}]",
+    "katakana": f"[{chr(0x30A0)}-{chr(0x30FF)}]",
+    "hangul": f"[{chr(0xAC00)}-{chr(0xD7AF)}]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+}
+
+# minimum fraction of non-space characters in a script to call the language
+_SCRIPT_RATIO = 0.15
 
 
 def lang_id(col: Column | str) -> Column:
-    """Heuristic language ID: score = count of language marker tokens;
-    argmax wins, 'und' when nothing hits. Pure Catalyst (arrays + greatest)."""
-    toks = ws_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    scores = []
+    """Heuristic language ID. Script-range ratios decide CJK/Cyrillic
+    (kana present -> 'ja'; hangul -> 'ko'; han without kana -> 'zh';
+    cyrillic -> 'ru'); otherwise the stopword-marker argmax decides the
+    Latin-script languages, 'und' when nothing hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_nonspace = F.greatest(
+        F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)
+    ).cast("double")
+    script = {
+        name: F.regexp_count(c, F.lit(rx)).cast("double")
+        for name, rx in _SCRIPT_RANGES.items()
+    }
+    kana = script["hiragana"] + script["katakana"]
+    cjk_mass = kana + script["han"]
+
+    toks = ws_tokens(F.lower(c))
+    best = F.lit("und")
+    best_score = F.lit(0)
     for lang, markers in _LANG_MARKERS.items():
         lit_arr = F.array(*[F.lit(m) for m in markers])
         score = F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
-        scores.append((lang, score))
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores:
         better = score > best_score
         best = F.when(better, F.lit(lang)).otherwise(best)
         best_score = F.when(better, score).otherwise(best_score)
-    return best
+
+    r = F.lit(_SCRIPT_RATIO)
+    return (
+        F.when((kana > 0) & (cjk_mass / n_nonspace > r), F.lit("ja"))
+        .when(script["hangul"] / n_nonspace > r, F.lit("ko"))
+        .when(script["han"] / n_nonspace > r, F.lit("zh"))
+        .when(script["cyrillic"] / n_nonspace > r, F.lit("ru"))
+        .otherwise(best)
+    )
 
 
 # ---------------------------------------------------------------------------

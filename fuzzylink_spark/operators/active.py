@@ -111,6 +111,13 @@ def recall_search_loop(
             break
         budget = min(config.al_batch, config.max_labels - n_labeled)
         w = kernel_weight_col("match_probability", config.al_kernel_sd)
+        # dnorm underflows to exactly 0 at extreme p (|logit| > ~6 at
+        # sd=0.2), which would make confidently-mis-scored pairs (the
+        # recall search's whole point) permanently undrawable; a floor
+        # keeps unlabeled rows drawable — E-S keys pow(U, 1/1e-300)
+        # collapse to 0, so floored rows sort AFTER every
+        # positive-weight row and are drawn only as budget allows
+        w = w + F.when(F.col("match").isNull(), F.lit(1e-300)).otherwise(F.lit(0.0))
         batch = weighted_sample_n(cands, w, budget, seed=config.seed + 1000 + rnd)
         if batch.limit(1).count() == 0:
             break

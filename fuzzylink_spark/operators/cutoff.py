@@ -84,9 +84,11 @@ def _f1_frame(df: DataFrame, p_col: str, w_col: str | None,
         .withColumn("fp", F.sum("_fp_c").over(desc))
         .drop("_tp_c", "_fp_c", "_fn_c", "_yes_c")
     )
-    precision = F.col("tp") / (F.col("tp") + F.col("fp"))
-    recall = F.col("tp") / (F.col("tp") + F.col("fn"))
-    f1 = F.lit(2.0) * precision * recall / (precision + recall)
+    # try_divide: a fully-labeled frame can have tp+fp = 0 (or tp = fn = 0
+    # at the bottom row), and ANSI mode turns 0/0 into an error, not NaN
+    precision = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    recall = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    f1 = F.try_divide(F.lit(2.0) * precision * recall, precision + recall)
     return out.withColumn(
         "expected_f1",
         F.when(F.isnan(f1) | f1.isNull(), F.lit(0.0)).otherwise(f1),

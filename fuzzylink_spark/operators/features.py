@@ -108,7 +108,7 @@ def _tile_features(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame, encoder):
     return sims, jw, exact, na, nb
 
 
-def _gemm_melt_factory(encoder=None, accept=None):
+def _gemm_melt_factory(encoder=None, accept=None, band=None):
     """Build the per-cell kernel. With ``encoder`` (list[str] -> unit-norm
     np.ndarray), cells carry only key strings and embeddings are computed
     in place — the shuffle never moves a vector. Without it, cells carry
@@ -118,7 +118,14 @@ def _gemm_melt_factory(encoder=None, accept=None):
     broadcast calibrator and emit ONLY exact matches and pairs above the
     cutoff (plus match_probability). This is the second pass of the
     two-pass plan: at 10^12 candidate pairs the full pair table is tens
-    of TB — the accepted set is the only thing worth materializing."""
+    of TB — the accepted set is the only thing worth materializing.
+
+    ``band`` = (delta, cap): ALSO emit up to ``cap`` non-accepted pairs
+    per tile with posterior within ±delta of the cutoff (closest first,
+    deterministic index tiebreak), flagged ``accepted=False``. The band
+    is the active-learning sample support — exactly the pairs the
+    reference's kernel-weighted sampler would draw (R/fuzzylink.R:268-282)
+    — emitted WITHOUT ever materializing the full pair table."""
 
     def _gemm_melt(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
         """One (block, sa, sb) tile: GEMM over the two unique-key embedding
@@ -128,7 +135,9 @@ def _gemm_melt_factory(encoder=None, accept=None):
         the melt emits int ids (computed upstream in Catalyst), never the
         strings themselves."""
         if len(a_pdf) == 0 or len(b_pdf) == 0:
-            return _EMPTY_MELT if accept is None else _EMPTY_ACCEPT
+            if accept is None:
+                return _EMPTY_MELT
+            return _EMPTY_ACCEPT if band is None else _EMPTY_BAND
         sims, jw, exact, na, nb = _tile_features(a_pdf, b_pdf, encoder)
         a_rep = np.repeat(a_pdf["id"].to_numpy(np.int64), nb)
         b_rep = np.tile(b_pdf["id"].to_numpy(np.int64), na)
@@ -145,27 +154,58 @@ def _gemm_melt_factory(encoder=None, accept=None):
             )
         posterior_fn, cutoff = accept
         p = np.where(exact, 1.0, posterior_fn(sims, jw))
-        keep = exact | (p > cutoff)
-        return pd.DataFrame(
-            {
-                "block_id": np.full(int(keep.sum()), key[0], dtype=np.int64),
-                "a_id": a_rep[keep],
-                "b_id": b_rep[keep],
-                "sim": sims[keep],
-                "jw": jw[keep],
-                "exact": exact[keep],
-                "match_probability": p[keep],
-            }
-        )
+        acc = exact | (p > cutoff)
+        keep = acc
+        if band is not None:
+            delta, cap, k_top = band if len(band) == 3 else (*band, 0)
+            dist = np.abs(p - cutoff)
+            idx = np.nonzero(~acc & (dist <= delta))[0]
+            if len(idx) > cap:
+                order = np.lexsort((idx, dist[idx]))
+                idx = idx[order[:cap]]
+            keep = acc.copy()
+            keep[idx] = True
+            if k_top > 0:
+                # per-A top-k under EACH ranking (posterior, sim, jw) —
+                # the recall-search support (R/fuzzylink.R:399-433 needs
+                # every A-group's best candidates on the board even when
+                # all score below the cutoff, and the calibrator's
+                # ranking can disagree with either raw feature — a
+                # nickname match ranks #1 by sim while the jw-dominated
+                # posterior buries it); O(3k * na) extra rows per tile,
+                # never O(na*nb)
+                k_eff = min(k_top, nb)
+                rows_rep = np.repeat(np.arange(na), k_eff) * nb
+                for crit in (p, sims, jw):
+                    cm = crit.reshape(na, nb)
+                    if k_eff == nb:
+                        top_cols = np.tile(np.arange(nb), (na, 1))
+                    else:
+                        top_cols = np.argpartition(-cm, k_eff - 1, axis=1)[:, :k_eff]
+                    keep[rows_rep + top_cols.ravel()] = True
+        out = {
+            "block_id": np.full(int(keep.sum()), key[0], dtype=np.int64),
+            "a_id": a_rep[keep],
+            "b_id": b_rep[keep],
+            "sim": sims[keep],
+            "jw": jw[keep],
+            "exact": exact[keep],
+            "match_probability": p[keep],
+        }
+        if band is not None:
+            out["accepted"] = acc[keep]
+        return pd.DataFrame(out)
 
     return _gemm_melt
 
 
 ACCEPT_IR_SCHEMA = PAIR_IR_SCHEMA + ", match_probability double"
+BAND_IR_SCHEMA = ACCEPT_IR_SCHEMA + ", accepted boolean"
 
 _EMPTY_ACCEPT = _EMPTY_MELT.assign(
     match_probability=pd.Series([], dtype="float64")
 )
+_EMPTY_BAND = _EMPTY_ACCEPT.assign(accepted=pd.Series([], dtype="bool"))
 
 
 def _hist_kernel_factory(encoder, bins: int, lo: float, hi: float):
@@ -335,6 +375,7 @@ def cogrouped_pair_features(
     max_salt: int = 4096,
     case_insensitive: bool = True,
     accept=None,
+    band=None,
 ) -> DataFrame:
     """Candidate generation + cosine + JW in ONE cogrouped Arrow pass,
     emitting the NUMERIC pair IR (block_id, a_id, b_id, sim, jw, exact).
@@ -353,11 +394,18 @@ def cogrouped_pair_features(
     two-pass plan: pairs are scored in-tile with the broadcast calibrator
     and only exact matches + pairs above the cutoff are emitted (schema
     gains ``match_probability``) — the full pair table never exists.
+    ``band`` = (delta, per_tile_cap) additionally emits the bounded
+    uncertainty band around the cutoff with an ``accepted`` flag (the
+    active-learning sample support; see ``_gemm_melt_factory``).
     """
+    if band is not None and accept is None:
+        raise ValueError("band emission requires accept=(posterior_fn, cutoff)")
     cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget, max_salt,
                           case_insensitive)
-    schema = PAIR_IR_SCHEMA if accept is None else ACCEPT_IR_SCHEMA
-    return cg.applyInPandas(_gemm_melt_factory(encoder, accept), schema=schema)
+    schema = (PAIR_IR_SCHEMA if accept is None
+              else (ACCEPT_IR_SCHEMA if band is None else BAND_IR_SCHEMA))
+    return cg.applyInPandas(_gemm_melt_factory(encoder, accept, band),
+                            schema=schema)
 
 
 def pair_dictionaries(uA: DataFrame, uB: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -387,5 +435,8 @@ def attach_pair_strings(pairs: DataFrame, key_dict: DataFrame,
     kb = key_dict.select(F.col("id").alias("b_id"), F.col("key").alias("B"))
     out = pairs.join(ka, "a_id", "left").join(kb, "b_id", "left")
     if block_dict is not None:
-        out = out.join(F.broadcast(block_dict), "block_id", "left")
+        # no broadcast hint: under a high-cardinality blocking key the
+        # block dictionary is O(distinct blocks) — let AQE broadcast it
+        # when runtime stats say it fits (same policy as key_dict above)
+        out = out.join(block_dict, "block_id", "left")
     return out

@@ -85,13 +85,50 @@ class GoldLabeler:
 class CallbackLabeler:
     """Driver-batched labeler: collects the (bounded) batch of pairs,
     calls ``fn(list[(a,b)]) -> list[str]``, normalizes replies exactly as
-    the reference does (first word, title case -> R/check_match.R:119)."""
+    the reference does (first word, title case -> R/check_match.R:119).
+
+    Prompt context: a real LLM labeler plug-in needs the reference's
+    ``record_type``/``instructions`` prompt surface (R/check_match.R:50-54,
+    R/fuzzylink.R:34-37). The pipeline calls ``set_context`` with the
+    LinkConfig values before labeling; if ``fn`` accepts ``record_type`` /
+    ``instructions`` keyword arguments (or ``**kwargs``) they are passed
+    through, so the callback can build the reference prompt without
+    closing over config."""
 
     def __init__(self, fn: Callable[[list[tuple[str, str]]], list[str]],
-                 spark=None, case_insensitive: bool = True):
+                 spark=None, case_insensitive: bool = True,
+                 record_type: str = "entity", instructions: str | None = None):
         self.fn = fn
         self.spark = spark
         self.case_insensitive = case_insensitive
+        self.record_type = record_type
+        self.instructions = instructions
+
+    def set_context(self, record_type: str | None = None,
+                    instructions: str | None = None) -> None:
+        """Adopt the pipeline's prompt context (called by ``fuzzylink``
+        from LinkConfig; explicit constructor arguments win only if the
+        pipeline passes None)."""
+        if record_type is not None:
+            self.record_type = record_type
+        if instructions is not None:
+            self.instructions = instructions
+
+    def _call(self, batch: list[tuple[str, str]]) -> list[str]:
+        import inspect
+
+        try:
+            params = inspect.signature(self.fn).parameters
+        except (TypeError, ValueError):  # builtins / C callables
+            return self.fn(batch)
+        has_var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                         for p in params.values())
+        kwargs = {}
+        for name, value in (("record_type", self.record_type),
+                            ("instructions", self.instructions)):
+            if has_var_kw or name in params:
+                kwargs[name] = value
+        return self.fn(batch, **kwargs) if kwargs else self.fn(batch)
 
     def label_pairs(self, pairs: DataFrame) -> DataFrame:
         spark = self.spark or pairs.sparkSession
@@ -100,7 +137,7 @@ class CallbackLabeler:
         exact = asked.where(em).withColumn("raw", F.lit("Yes"))
         rest = asked.where(~em)
         rows = rest.collect()  # labeler batches are budget-bounded (max_labels)
-        replies = self.fn([(r["A"], r["B"]) for r in rows]) if rows else []
+        replies = self._call([(r["A"], r["B"]) for r in rows]) if rows else []
         if len(replies) != len(rows):
             raise ValueError(
                 f"labeler callback returned {len(replies)} replies for "

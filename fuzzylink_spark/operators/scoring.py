@@ -118,10 +118,57 @@ def _feature_cols(df: DataFrame, features: list[str]) -> tuple[DataFrame, list[s
     return out, names
 
 
+def _compile_tree_node(node, feat_exprs):
+    """Recursively compile one spark.ml decision-tree node into a Catalyst
+    column expression yielding that tree's P(class 1).
+
+    spark.ml routes LEFT when feature <= threshold (ContinuousSplit);
+    leaves carry the class-count impurity stats. Only continuous splits
+    are compilable (all our features are); a categorical split raises and
+    the caller falls back to the transform path."""
+    cls_name = node.getClass().getSimpleName()
+    if "LeafNode" in cls_name:
+        stats = list(node.impurityStats().stats())
+        total = sum(stats)
+        p1 = (stats[1] / total) if total > 0 and len(stats) > 1 else 0.0
+        return F.lit(float(p1))
+    split = node.split()
+    if "ContinuousSplit" not in split.getClass().getSimpleName():
+        raise ValueError("categorical split: not column-compilable")
+    fx = feat_exprs[split.featureIndex()]
+    thr = float(split.threshold())
+    left = _compile_tree_node(node.leftChild(), feat_exprs)
+    right = _compile_tree_node(node.rightChild(), feat_exprs)
+    return F.when(fx <= F.lit(thr), left).otherwise(right)
+
+
 @dataclass
 class RFModel:
     features: list[str]    # column names or SQL expressions (fmla terms)
     model: object  # pyspark.ml RandomForestClassificationModel
+
+    def score_col(self):
+        """P(class 1) as a PURE Catalyst column expression: every tree is
+        compiled to a nested CASE WHEN over the feature columns and the
+        forest averages them — exactly spark.ml's soft-vote probability
+        (per-tree leaf class distribution, averaged), with zero Python,
+        zero VectorAssembler row conversion, and no string columns in the
+        scoring pass. This is what lets learner='rf' score the NUMERIC
+        pair IR at 10^12 pairs: the forest rides the broadcast plan as
+        literals, the same way the logit coefficients do.
+
+        Raises ValueError on categorical splits (not used here); callers
+        (``with_match_probability``) fall back to ``transform_probability``.
+        """
+        feat_exprs = [F.expr(f) for f in self.features]
+        trees = [t._call_java("rootNode") for t in self.model.trees]
+        if not trees:
+            raise ValueError("empty forest")
+        total = None
+        for root in trees:
+            expr = _compile_tree_node(root, feat_exprs)
+            total = expr if total is None else total + expr
+        return total / F.lit(float(len(trees)))
 
     def transform_probability(self, df: DataFrame) -> DataFrame:
         """Score a DataFrame: adds match_probability = P(class 1)."""
@@ -563,13 +610,24 @@ def with_match_probability(pairs: DataFrame, model,
     else:
         is_exact = F.col("A") == F.col("B")
     if hasattr(model, "transform_probability"):
-        scored = model.transform_probability(
-            pairs.drop("match_probability") if "match_probability" in pairs.columns
-            else pairs
-        )
-        return scored.withColumn(
-            "match_probability",
-            F.when(is_exact, F.lit(1.0)).otherwise(F.col("match_probability")),
+        # prefer the compiled-tree column expression (pure Catalyst, no
+        # VectorAssembler / Python in the scoring pass); fall back to the
+        # transform path only when the forest isn't column-compilable
+        try:
+            p = model.score_col()
+        except Exception:  # noqa: BLE001 — categorical splits etc.
+            scored = model.transform_probability(
+                pairs.drop("match_probability")
+                if "match_probability" in pairs.columns else pairs
+            )
+            return scored.withColumn(
+                "match_probability",
+                F.when(is_exact, F.lit(1.0)).otherwise(F.col("match_probability")),
+            )
+        if "match_probability" in pairs.columns:
+            pairs = pairs.drop("match_probability")
+        return pairs.withColumn(
+            "match_probability", F.when(is_exact, F.lit(1.0)).otherwise(p)
         )
     p = model.score_col() if isinstance(model, LogitModel) else model.posterior_col()
     return pairs.withColumn(

@@ -59,6 +59,17 @@ class LinkResult:
     model: Any
     metrics: dict
 
+    def release(self) -> None:
+        """Unpersist the cached pair table. ``pairs`` (and the ``linked``
+        plan built over it) stays persisted when ``fuzzylink`` returns so
+        the caller's first action is a cache read, not a re-run of the
+        featurize GEMM; call this when done with the result in a
+        long-lived session."""
+        try:
+            self.pairs.unpersist()
+        except Exception:  # noqa: BLE001 — already released / session gone
+            pass
+
 
 def build_scored_pairs(
     spark: SparkSession,
@@ -270,15 +281,19 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
         nontrivial_pred = F.lower(F.col("A")) != F.lower(F.col("B"))
     else:
         nontrivial_pred = F.col("A") != F.col("B")
-    if config.learner == "rf":
+    if config.learner == "rf" and config.rf_full_features:
+        # OPT-IN full lexical feature set (the reference's ranger learner,
+        # R/fuzzylink.R:179-186) — a per-pair Arrow batch pass over the
+        # string-attached pair table. Batch-vectorized, but still Python
+        # DP per pair: bounded-input mode only. The DEFAULT rf path fits
+        # and scores on the in-tile numeric IR features (sim, jw) with
+        # compiled-tree Catalyst scoring — the 10^12-pair plan.
         if "A" not in blended.columns:
             raise ValueError(
-                "learner='rf' needs the string-attached pair table (the "
-                "lexical feature UDFs read the key strings); call "
+                "rf_full_features=True needs the string-attached pair table "
+                "(the lexical feature UDFs read the key strings); call "
                 "build_scored_pairs with attach_strings=True"
             )
-        # the reference's ranger learner uses the full lexical feature set
-        # (R/fuzzylink.R:179-186); compute it once here (Arrow batch pass)
         from fuzzylink_spark.functions.strdist import pair_features_udf, soundex_neq_col
 
         blended = (
@@ -340,10 +355,20 @@ def assemble(dfA: DataFrame, dfB: DataFrame, accepted: DataFrame,
              config: LinkConfig) -> DataFrame:
     """Stage 7 (J6/J7): keep ALL dfA rows (unmatched → NULL B side), attach
     dfB attributes to matched B values, many-to-many
-    (R/fuzzylink.R:476-480)."""
+    (R/fuzzylink.R:476-480).
+
+    The linkback join keys follow ``config.exact_case_insensitive``:
+    insensitive mode (default) joins on lowercased keys so case-variant
+    dfA/dfB rows of an accepted key all link; sensitive mode joins RAW
+    (reference parity, R/fuzzylink.R:476-480) — the pair table
+    distinguishes 'Smith' from 'smith' there, and the linkback must not
+    re-merge them."""
     by, blocking = config.by, config.blocking_keys
     a = add_block_key(dfA, blocking)
     b = add_block_key(dfB, blocking)
+
+    def _k(col):
+        return F.lower(col) if config.exact_case_insensitive else col
 
     m = accepted.select(
         F.col("A"), F.col("B"), F.col("block_key"),
@@ -351,7 +376,7 @@ def assemble(dfA: DataFrame, dfB: DataFrame, accepted: DataFrame,
     )
     res = a.join(
         m,
-        (F.lower(a[by]) == F.lower(m["A"])) & (a["block_key"] == m["block_key"]),
+        (_k(a[by]) == _k(m["A"])) & (a["block_key"] == m["block_key"]),
         "left",
     ).drop(m["block_key"])
 
@@ -361,7 +386,7 @@ def assemble(dfA: DataFrame, dfB: DataFrame, accepted: DataFrame,
         b_renamed = b_renamed.withColumnRenamed(c, f"{c}_B")
     res = res.join(
         b_renamed,
-        (F.lower(res["B"]) == F.lower(b_renamed[f"{by}_B" if by in overlap else by]))
+        (_k(res["B"]) == _k(b_renamed[f"{by}_B" if by in overlap else by]))
         & (res["block_key"] == b_renamed["block_key"]),
         "left",
     ).drop(b_renamed["block_key"])
@@ -376,6 +401,9 @@ def fuzzylink_twopass(
     blocking_keys: list[str] | None = None,
     config: LinkConfig | None = None,
     bins: int = 200,
+    labeler=None,
+    al_band_delta: float = 0.45,
+    al_band_cap: int = 5000,
 ) -> LinkResult:
     """Two-pass linkage for scales where the pair table itself is the
     bottleneck (10^12 candidate pairs ~ tens of TB of IR):
@@ -391,8 +419,18 @@ def fuzzylink_twopass(
     Kernel compute doubles; shuffle/persist volume collapses from
     O(candidate pairs) to O(accepted pairs). Equivalent to the classic
     path up to histogram quantization of the calibrator inputs (bucket
-    width (hi-lo)/bins); unsupervised only (no labeler — the AL loop
-    needs the scored pair table)."""
+    width (hi-lo)/bins).
+
+    With ``labeler`` (+ ``config.learner='logit'``) the reference's
+    active-learning accuracy mode (R/fuzzylink.R:249-334) runs WITHOUT
+    ever materializing the pair table: pass 2 additionally emits the
+    bounded uncertainty band around the EM cutoff (posterior within
+    ±``al_band_delta``, ≤ ``al_band_cap`` per tile — exactly the support
+    of the reference's kernel-weighted sampler, R/fuzzylink.R:268-282),
+    the AL loop labels/refits a logit on that band, the pass-1 histogram
+    is re-scored under the refit model for a new expected-F1 cutoff, and
+    a final in-kernel pass emits the accepted set under the refit
+    calibrator (labeled pairs then override per P9: Yes in, No out)."""
     import numpy as np
 
     from fuzzylink_spark.operators.cutoff import expected_f1_cutoff_from_hist
@@ -468,6 +506,89 @@ def fuzzylink_twopass(
                                           fallback=config.fallback_cutoff,
                                           yes_mass=n_exact)
 
+    key_dict, block_dict = pair_dictionaries(uA, uB)
+    model_out = model
+    scored_band = None
+    if labeler is not None:
+        # active learning WITHOUT the pair table: pass 2a emits the
+        # bounded uncertainty band (±delta around the EM cutoff, capped
+        # per tile) — the kernel-weighted sampler's support — the AL loop
+        # labels/refits a logit on it, and the pass-1 histogram is
+        # re-scored under the refit model for the final cutoff.
+        if config.learner != "logit" or list(config.features) != ["sim", "jw"]:
+            raise ValueError(
+                "two-pass active learning supports learner='logit' on the "
+                "in-tile features ['sim', 'jw'] only: the refit calibrator "
+                "must re-score the pass-1 histogram and run inside pass-2 "
+                "tiles (use the classic fuzzylink() for other learners)"
+            )
+        if hasattr(labeler, "set_context"):
+            labeler.set_context(record_type=config.record_type,
+                                instructions=config.instructions)
+        from fuzzylink_spark.operators.active import active_learning_loop, recall_search_loop
+        from fuzzylink_spark.operators.labeling import merge_labels
+        from fuzzylink_spark.operators.sampling import uniform_sample_n
+
+        # pass 2a: the bounded label-target POOL — accepted pairs (so
+        # false accepts can be labeled No), the uncertainty band (the
+        # kernel sampler's support), and every A-record's top-k
+        # candidates (the recall-search support) — O(accepted + caps +
+        # k·|uA|) rows, never O(candidate pairs)
+        banded = cogrouped_pair_features(
+            uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
+            case_insensitive=config.exact_case_insensitive,
+            accept=(post, cutoff), band=(al_band_delta, al_band_cap, 2))
+        pool = banded.dropDuplicates(["a_id", "b_id"])
+        pool = attach_pair_strings(pool, key_dict, block_dict).drop("accepted")
+        # the pool is bounded — materialize it so the AL rounds iterate
+        # on cached rows, never re-running the tile GEMM
+        pool = pool.withColumn(
+            "match",
+            F.when(F.col("exact"), F.lit("Yes")).otherwise(F.lit(None).cast("string")),
+        ).localCheckpoint(eager=True)
+        seed_pairs = uniform_sample_n(pool, config.initial_train_n, config.seed)
+        pool = merge_labels(pool, labeler.label_pairs(seed_pairs))
+        scored_pool, logit_model, _grads = active_learning_loop(
+            pool, labeler, config)
+        coefs = tuple(logit_model.coef)
+        em_cutoff = cutoff
+
+        # COMPOSED posterior: the band-trained logit decides only INSIDE
+        # the band it was trained on (within ±delta of the EM cutoff); EM
+        # keeps deciding outside. A band-only fit must not extrapolate:
+        # near the boundary, label can anti-correlate with similarity
+        # (near-miss decoys score higher than corrupted true matches), so
+        # a globally-applied band logit inverts the ranking wholesale.
+        def post_refit(x, y, _b=coefs, _em=post, _c=em_cutoff, _d=al_band_delta):
+            p_em = _em(x, y)
+            p_lg = 1.0 / (1.0 + np.exp(-(_b[0] + _b[1] * x + _b[2] * y)))
+            return np.where(np.abs(p_em - _c) <= _d, p_lg, p_em)
+
+        post = post_refit
+        model_out = logit_model
+        cutoff = expected_f1_cutoff_from_hist(
+            post_refit(hist[:, 0], hist[:, 1]), hist[:, 2],
+            fallback=config.fallback_cutoff, yes_mass=n_exact)
+
+        # reference recall search (M7, R/fuzzylink.R:393-459) on the pool:
+        # rescore with the COMPOSED posterior (the same scores pass 2b
+        # will produce), then spend remaining label budget on A-groups
+        # with no accepted match — labeled Yes pairs re-enter via the P9
+        # override below even when the calibrator scores them out
+        p_em_col = model.posterior_col()
+        z = (F.lit(coefs[0]) + F.lit(coefs[1]) * F.col("sim")
+             + F.lit(coefs[2]) * F.col("jw"))
+        p_lg_col = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        p_comp = F.when(
+            F.abs(p_em_col - F.lit(em_cutoff)) <= F.lit(al_band_delta), p_lg_col
+        ).otherwise(p_em_col)
+        scored_pool = scored_pool.withColumn(
+            "match_probability",
+            F.when(F.col("exact"), F.lit(1.0)).otherwise(p_comp),
+        )
+        scored_pool = recall_search_loop(scored_pool, labeler, config, cutoff)
+        scored_band = scored_pool.localCheckpoint(eager=True)
+
     # pass 2: in-kernel scoring, only accepted pairs ever leave a tile
     accepted = cogrouped_pair_features(
         uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
@@ -479,19 +600,41 @@ def fuzzylink_twopass(
     )
     # multi-block duplicate pairs: dedup on the (small) accepted set
     accepted = accepted.dropDuplicates(["a_id", "b_id"])
-    key_dict, block_dict = pair_dictionaries(uA, uB)
+    accepted = attach_pair_strings(accepted, key_dict, block_dict)
+    if scored_band is not None:
+        # P9 label override on the accepted set: labeled No drops out even
+        # above the cutoff; labeled Yes joins even below it (the band rows
+        # carry the full pair schema, so the union is lossless)
+        lab = scored_band.where(F.col("match").isin("Yes", "No")).select(
+            "A", "B", F.col("match").alias("_lab"))
+        accepted = (
+            accepted.join(lab, ["A", "B"], "left")
+            .where(F.col("_lab").isNull() | (F.col("_lab") == "Yes"))
+            .withColumn("match", F.coalesce(F.col("match"), F.col("_lab")))
+            .drop("_lab")
+        )
+        extra_yes = (
+            scored_band.where(F.col("match") == "Yes")
+            .join(accepted.select("A", "B"), ["A", "B"], "left_anti")
+            .select(*accepted.columns)
+        )
+        accepted = accepted.unionByName(extra_yes)
     # persist: pass 2 is a full tile GEMM — without this, the metrics
     # count and every later action on res.pairs/res.linked would re-run it
-    accepted = attach_pair_strings(accepted, key_dict, block_dict).persist()
+    accepted = accepted.persist()
     linked = assemble(dfA, dfB, accepted, config)
     metrics = {"cutoff": cutoff, "n_candidate_pairs": n_pairs,
                "n_accepted": accepted.count()}
+    if scored_band is not None:
+        metrics["n_band"] = scored_band.count()
+        metrics["n_labeled"] = scored_band.where(
+            F.col("match").isin("Yes", "No")).count()
     # the accepted set is materialized in cache now — release the side
     # caches so repeated calls in one session don't accumulate storage
     for df in (uA, uB, blocks):
         df.unpersist()
     return LinkResult(linked=linked, pairs=accepted, cutoff=cutoff,
-                      model=model, metrics=metrics)
+                      model=model_out, metrics=metrics)
 
 
 def fuzzylink(
@@ -515,29 +658,35 @@ def fuzzylink(
     validate_columns(dfA, [by, *config.blocking_keys], name="dfA")
     validate_columns(dfB, [by, *config.blocking_keys], name="dfB")
     ckpt = CheckpointManager(spark, config.work_dir, config.resume)
+    if labeler is not None and hasattr(labeler, "set_context"):
+        # reference prompt surface (R/check_match.R:50-54): the labeler
+        # sees record_type/instructions without closing over config
+        labeler.set_context(record_type=config.record_type,
+                            instructions=config.instructions)
 
     pairs = build_scored_pairs(spark, dfA, dfB, config, ckpt, labeler)
     scored, model = fit_and_score(pairs, config, labeler)
+    # scored STAYS persisted past return: LinkResult.linked/.pairs are lazy
+    # plans over it, and unpersisting here would make the caller's first
+    # action re-run the entire featurize GEMM. Ownership passes to the
+    # caller (LinkResult.release()).
     scored = scored.persist()
-    try:
-        cutoff = expected_f1_cutoff(
-            scored, bins=config.cutoff_bins, exact=exact_cutoff,
-            fallback=config.fallback_cutoff,
-        )
-        accepted = accepted_matches(scored, cutoff)
-        linked = assemble(dfA, dfB, accepted, config)
-        metrics = {
-            "cutoff": cutoff,
-            "n_pairs": scored.count(),
-            "n_accepted": accepted.count(),
-        }
-        # scored is materialized in cache now — the upstream side caches
-        # (uA/uB/blocks) are dead weight; release them so repeated calls
-        # in one session don't accumulate storage
-        for df in getattr(pairs, "_link_intermediates", []):
-            df.unpersist()
-    finally:
-        scored.unpersist()
+    cutoff = expected_f1_cutoff(
+        scored, bins=config.cutoff_bins, exact=exact_cutoff,
+        fallback=config.fallback_cutoff,
+    )
+    accepted = accepted_matches(scored, cutoff)
+    linked = assemble(dfA, dfB, accepted, config)
+    metrics = {
+        "cutoff": cutoff,
+        "n_pairs": scored.count(),
+        "n_accepted": accepted.count(),
+    }
+    # scored is materialized in cache now — the upstream side caches
+    # (uA/uB/blocks) are dead weight; release them so repeated calls
+    # in one session don't accumulate storage
+    for df in getattr(pairs, "_link_intermediates", []):
+        df.unpersist()
     ckpt.write_lineage()
     return LinkResult(linked=linked, pairs=scored, cutoff=cutoff,
                       model=model, metrics=metrics)

@@ -48,7 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the melt emits up to pair_budget (250k) fixed-width rows per
+        # tile: 128k-row Arrow batches cut the per-batch JVM hand-off
+        # count ~13x vs the 10k default at ~5 MB a batch (measured in the
+        # 8->32 scaling decomposition's non-kernel slice)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # free pandas-side Arrow buffers eagerly inside cogroup kernels
+        .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -271,13 +271,37 @@ def read_cluster_assignment(spark, assignment_dir: str) -> DataFrame:
 
 def compact_cluster_assignment(spark, assignment_dir: str) -> None:
     """Rewrite the append-only assignment log to one row per id (run
-    periodically so read-time version resolution stays cheap)."""
+    periodically so read-time version resolution stays cheap).
+
+    Fully DISTRIBUTED: the deduped frame is written to a sibling temp
+    directory (breaking the read-overwrite-same-path cycle), then swapped
+    in with Hadoop FileSystem renames — works on HDFS/local alike and
+    never collects the assignment table to the driver (at 10^9 ids the
+    old collect()-based rewrite was a guaranteed driver OOM)."""
     latest = read_cluster_assignment(spark, assignment_dir).withColumn(
         "batch_id", F.lit(-1).cast("long")
-    ).collect()
-    spark.createDataFrame(
-        latest, schema="id long, component long, batch_id long"
-    ).write.mode("overwrite").parquet(assignment_dir)
+    )
+    tmp_dir = assignment_dir.rstrip("/") + "__compact_tmp"
+    old_dir = assignment_dir.rstrip("/") + "__compact_old"
+    latest.write.mode("overwrite").parquet(tmp_dir)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _path(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _path(assignment_dir).getFileSystem(conf)
+    # atomic-ish swap: current -> old, tmp -> current, drop old. If the
+    # process dies between the renames, the tmp/old dirs hold a complete
+    # copy — nothing is lost, re-running compaction heals.
+    fs.delete(_path(old_dir), True)
+    if not fs.rename(_path(assignment_dir), _path(old_dir)):
+        raise OSError(f"compact: rename {assignment_dir} -> {old_dir} failed")
+    if not fs.rename(_path(tmp_dir), _path(assignment_dir)):
+        # roll back so the table stays readable
+        fs.rename(_path(old_dir), _path(assignment_dir))
+        raise OSError(f"compact: rename {tmp_dir} -> {assignment_dir} failed")
+    fs.delete(_path(old_dir), True)
 
 
 def stream_link(
