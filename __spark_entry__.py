@@ -324,6 +324,25 @@ def _q_cosine_topk(spark, sf):
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
 
 
+def _q_qgram_jaccard1(spark, sf):
+    """F5 q-gram Jaccard distance at q=1 against DuckDB's native char-set
+    jaccard (our distance = 1 - its similarity): moves the q-gram batch
+    kernel family onto the hard-signal board."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.functions.strdist import pair_features_udf
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 25).select(
+        F.col("c_custkey").alias("a_id"), F.col("c_name").alias("a_name"))
+    s = _t(spark, sf, "supplier").where(F.col("s_suppkey") <= 40).select(
+        F.col("s_suppkey").alias("b_id"), F.col("s_name").alias("b_name"))
+    df = c.crossJoin(s).withColumn(
+        "f", pair_features_udf(F.col("a_name"), F.col("b_name")))
+    return df.select(
+        "a_id", "b_id", F.round("f.jaccard_qgram", 6).alias("jacc1"))
+
+
 def _q_soundex_neq(spark, sf):
     c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 50)
     # F8 soundex-inequality distance between name and a shuffled variant
@@ -883,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "quality_stop_ratio": _q_quality,
         "jw_pairs": _q_jw_pairs,
+        "qgram_jaccard1": _q_qgram_jaccard1,
         "cosine_topk": _q_cosine_topk,
         "soundex_neq": _q_soundex_neq,
         "p4_pairwise_distinct": _q_p4_pairwise_distinct,
@@ -1038,6 +1058,12 @@ def oracle_sql() -> dict[str, str]:
         "jw_pairs": """
             SELECT c.c_custkey AS a_id, s.s_suppkey AS b_id,
                    round(jaro_winkler_similarity(lower(c.c_name), lower(s.s_name)), 6) AS jw
+            FROM customer c CROSS JOIN supplier s
+            WHERE c.c_custkey <= 25 AND s.s_suppkey <= 40
+        """,
+        "qgram_jaccard1": """
+            SELECT c.c_custkey AS a_id, s.s_suppkey AS b_id,
+                   round(1.0 - jaccard(lower(c.c_name), lower(s.s_name)), 6) AS jacc1
             FROM customer c CROSS JOIN supplier s
             WHERE c.c_custkey <= 25 AND s.s_suppkey <= 40
         """,

@@ -45,6 +45,11 @@ class LinkConfig:
     # --- cutoff search (R/fuzzylink.R:344-371) ---
     fallback_cutoff: float = 0.5          # NaN-F1 guard, R/fuzzylink.R:366-370
     cutoff_bins: int = 2000               # histogram resolution for scale mode
+    # True = return the F1-argmax probability itself (reference-exact,
+    # R/fuzzylink.R:368-370 — the strict p > cutoff filter then excludes
+    # the argmax row); False (default) places the cutoff just below the
+    # argmax so the optimal set is what is accepted.
+    cutoff_strict_parity: bool = False
 
     # --- scale / physical plan knobs ---
     # blocking-key cardinality declaration: None = probe with a count and
@@ -55,7 +60,12 @@ class LinkConfig:
     shuffle_partitions: int = 32
     block_pair_budget: int = 50_000_000   # max |uA|x|uB| pairs per block before salting warning
     salt_buckets: int = 8                 # fixed sub-splits (candidate_pairs path)
-    salt_pair_threshold: int = 250_000    # pair budget per GEMM cell (adaptive 2-D tiling)
+    # pair budget per GEMM cell (adaptive 2-D tiling). 1M pairs/tile ~=
+    # tens of MB working set and ~5 s of kernel compute: large enough to
+    # amortize the per-tile Arrow/Python hand-off (measured 45 s -> 34 s
+    # at 96M pairs, local[32]), small enough that a 10^12-pair run still
+    # yields ~10^6 tiles (ample waves for any executor count)
+    salt_pair_threshold: int = 1_000_000
     broadcast_threshold_rows: int = 1_000_000
 
     # --- checkpointing / lineage ---

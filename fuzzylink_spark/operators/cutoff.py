@@ -102,11 +102,19 @@ def expected_f1_cutoff(
     bins: int = 2000,
     exact: bool = False,
     fallback: float = 0.5,
+    strict_parity: bool = False,
 ) -> float:
     """Pick the probability cutoff maximizing expected F1 (A6 argmax).
 
     ``exact`` reproduces the reference row-level program; the default
     histogram mode buckets p to 1/bins before the same math.
+    ``strict_parity`` returns the argmax probability ITSELF, exactly as
+    the reference does (R/fuzzylink.R:368-370) — which, combined with the
+    strict ``p > cutoff`` accept filter, excludes the argmax row from its
+    own optimal set. The default places the cutoff just below the argmax
+    (a documented off-by-one improvement); set strict_parity=True (or
+    ``LinkConfig.cutoff_strict_parity``) for byte-for-byte reference
+    reproduction.
     """
     cols = [p_col] + ([label_col] if label_col and label_col in pairs.columns else [])
     df = pairs.select(*cols)
@@ -131,6 +139,8 @@ def expected_f1_cutoff(
     if best is None or best["expected_f1"] <= 0.0:
         return fallback  # NaN-F1 guard (R/fuzzylink.R:366-370)
     best_p = float(best[p_col])
+    if strict_parity:
+        return best_p  # reference-exact: argmax returned as-is
     # The F1 evaluated at p counts the p-rows as accepted, but the final
     # filter is strict (p > cutoff, R/fuzzylink.R:472-473) — so return a
     # cutoff just BELOW the argmax so the optimal set is what's accepted.

@@ -270,14 +270,29 @@ def _salted_side(u: DataFrame, emb: DataFrame | None, block_k: DataFrame,
 
 
 def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
-                    max_salt: int = 4096) -> DataFrame:
+                    max_salt: int = 4096,
+                    target_cells: int | None = None) -> DataFrame:
     """Adaptive 2-D tiling plan: per block, split the |uA| x |uB| pair
     matrix into ~(|uA|x|uB|/pair_budget) cells arranged as a ka x kb grid
     with roughly square tiles. Bounds every GEMM cell's pair count (task
     skew AND peak memory) for any blocking-key skew — lang='en' at web
-    scale becomes thousands of uniform tiles."""
+    scale becomes thousands of uniform tiles.
+
+    ``target_cells`` (usually ~2-3x the cluster's core count) additionally
+    SHRINKS the effective budget when the data is small relative to the
+    cluster: a 1M-pair default budget is right at 10^12 pairs (amortizes
+    the per-tile Arrow hand-off) but would put a 2M-pair run on two cores;
+    the budget floors at 50k pairs so tiny inputs don't shatter into
+    overhead-dominated confetti."""
     ca = uA.groupBy("block_key").agg(F.count("*").alias("n_a"))
     cb = uB.groupBy("block_key").agg(F.count("*").alias("n_b"))
+    stats = ca.join(cb, "block_key")
+    if target_cells:
+        row = stats.agg(
+            F.sum(F.col("n_a").cast("long") * F.col("n_b")).alias("t")).first()
+        total_pairs = int(row["t"] or 0)
+        pair_budget = int(max(50_000,
+                              min(pair_budget, total_pairs / target_cells)))
     cells = F.least(
         F.greatest(
             F.ceil(F.col("n_a") * F.col("n_b") / F.lit(pair_budget)), F.lit(1)
@@ -290,7 +305,7 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
         F.greatest(F.col("n_a"), F.lit(1)),
     )
     kb = F.greatest(F.ceil(cells / ka), F.lit(1))
-    return ca.join(cb, "block_key").select(
+    return stats.select(
         "block_key", ka.cast("int").alias("ka"), kb.cast("int").alias("kb")
     )
 
@@ -316,10 +331,11 @@ def _cogrouped_tiles(
         return df.select(*[F.col(c).alias(c) for c in df.columns])
 
     emb_used = None if encoder is not None else emb
-    block_k = block_salt_plan(uA, uB, pair_budget, max_salt).persist()
+    sc = uA.sparkSession.sparkContext
+    block_k = block_salt_plan(uA, uB, pair_budget, max_salt,
+                              target_cells=sc.defaultParallelism * 3).persist()
     row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
     total_cells = int(row["c"] or 1)
-    sc = uA.sparkSession.sparkContext
     # 4 partition slots per tile: tiles are seconds of kernel compute, so
     # two tiles hash-colliding into one partition creates a straggler that
     # caps scaling; extra empty partitions cost only empty-task launches.

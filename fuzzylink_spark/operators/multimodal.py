@@ -8,9 +8,11 @@ is real and tested, and so is decode for two concrete codecs:
 - WAV (RIFF/PCM) via the stdlib ``wave`` module → sample array →
   duration / RMS / zero-crossing rate / log-energy FFT bands;
 - BMP (uncompressed 24-bit BI_RGB) via ``struct`` header parsing →
-  HxWx3 array → mean-RGB / luma histogram, plus nearest-neighbor resize.
+  HxWx3 array → mean-RGB / luma histogram, plus nearest-neighbor resize;
+- PNG (8-bit gray/RGB/RGBA, non-interlaced) via stdlib ``zlib`` chunk
+  parsing with all five scanline filters un-applied.
 
-Other codecs (JPEG/PNG/MP4...) need external libraries that are not in
+Other codecs (JPEG/MP4...) need external libraries that are not in
 this container; payloads in those formats raise ``NotImplementedError``
 naming the magic bytes — loudly, per batch, so a misconfigured cluster
 job fails fast instead of producing garbage features. ``fake=True``
@@ -128,6 +130,94 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 rows,
+    zlib via the stdlib — no external imaging library)."""
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx3 uint8 RGB. Supports 8-bit truecolor (type 2),
+    truecolor+alpha (6, alpha dropped), and grayscale (0), non-interlaced
+    — the common cases decodable with stdlib zlib alone. All five scanline
+    filters are un-applied: None/Sub/Up vectorized (Sub is a per-channel
+    cumsum mod 256), Average/Paeth per-pixel (rare in practice; our
+    encoder always writes filter 0)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, 0
+    idat, ihdr = [], None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace} "
+            "not supported (8-bit gray/RGB/RGBA, non-interlaced only)")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f, line = int(filters[r]), rows[r]
+        prev = recon[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
+        if f == 0:
+            out = line
+        elif f == 1:  # Sub: per-channel running sum mod 256
+            out = line.reshape(-1, ch).copy()
+            np.cumsum(out, axis=0, out=out)
+            out = (out % 256).reshape(-1)
+        elif f == 2:  # Up
+            out = line + prev
+        else:  # Average (3) / Paeth (4): sequential in x
+            out = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                # predictors read RECONSTRUCTED bytes (mod 256 applied)
+                a = int(out[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 3:
+                    out[x] = (int(line[x]) + ((a + b) >> 1)) % 256
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out[x] = (int(line[x]) + pred) % 256
+        recon[r] = (out % 256).astype(np.uint8)
+    img = recon.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif ch == 4:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize (the Spark-side contract is fixed-shape
     features; NN keeps it dependency-free and deterministic)."""
@@ -180,11 +270,13 @@ def decode_features(payload: bytes, dim: int) -> np.ndarray:
         return np.zeros(dim, dtype=np.float32)
     if payload[:2] == b"BM":
         return image_features(decode_bmp(payload), dim)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return image_features(decode_png(payload), dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, x = decode_wav(payload)
         return audio_features(rate, x, dim)
     raise NotImplementedError(
-        f"no decoder for payload magic {payload[:4]!r}: only BMP and "
+        f"no decoder for payload magic {payload[:4]!r}: only BMP, PNG and "
         "RIFF/WAV decode with the stdlib; other codecs need external "
         "libraries (register a kernel, or pass fake=True for the "
         "deterministic stand-in)"
@@ -210,8 +302,12 @@ def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
             img[:, :, 0] = (np.arange(w) * (i + 3)) % 256
             img[:, :, 1] = (np.arange(h)[:, None] * (i + 7)) % 256
             img[:, :, 2] = (i * 11) % 256
-            payload = encode_bmp(img)
-            meta = ("image/bmp", w, h, 0)
+            if i % 2 == 0:
+                payload = encode_bmp(img)
+                meta = ("image/bmp", w, h, 0)
+            else:
+                payload = encode_png(img)
+                meta = ("image/png", w, h, 0)
         elif kind == "audio":
             t = np.arange(800) / 8000.0
             payload = encode_wav(np.sin(2 * np.pi * (200 + 20 * i) * t), 8000)

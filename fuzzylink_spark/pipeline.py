@@ -674,6 +674,7 @@ def fuzzylink(
     cutoff = expected_f1_cutoff(
         scored, bins=config.cutoff_bins, exact=exact_cutoff,
         fallback=config.fallback_cutoff,
+        strict_parity=config.cutoff_strict_parity,
     )
     accepted = accepted_matches(scored, cutoff)
     linked = assemble(dfA, dfB, accepted, config)

@@ -25,11 +25,27 @@ def validate_columns(df: DataFrame, required: list[str], name: str = "input") ->
 
 
 def read_table(spark: SparkSession, path: str, required: list[str] | None = None,
-               fmt: str = "parquet") -> DataFrame:
+               fmt: str = "parquet", **options) -> DataFrame:
+    """S1 source reader. Formats:
+
+    - ``parquet`` (default) / ``orc``: columnar scans with predicate +
+      projection pushdown — the production formats;
+    - ``iceberg``: table-format load (partition pruning + snapshots; needs
+      the runtime jars on a real cluster);
+    - ``csv`` / ``json``: ingestion-side formats. Schema inference costs an
+      extra pass — pass an explicit ``schema=`` option at scale, and
+      convert to parquet/Iceberg before iterative workloads (no pushdown,
+      full-row text parsing on every scan).
+    """
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(path)
+    elif fmt == "csv":
+        df = spark.read.options(header="true", inferSchema="true",
+                                **options).csv(path)
+    elif fmt in ("json", "orc"):
+        df = getattr(spark.read.options(**options), fmt)(path)
     else:
-        df = spark.read.parquet(path)
+        df = spark.read.options(**options).parquet(path)
     if required:
         validate_columns(df, required, name=path)
     return df

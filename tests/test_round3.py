@@ -215,9 +215,87 @@ def test_callback_labeler_plain_fn_still_works(spark):
     assert out[0]["match"] == "Yes"
 
 
+def test_cutoff_strict_parity_flag(spark):
+    """ADVICE round-2: strict_parity returns the reference's argmax itself;
+    default places the cutoff half a bucket below it."""
+    from fuzzylink_spark.operators.cutoff import expected_f1_cutoff
+
+    df = spark.createDataFrame(
+        [(0.1,), (0.2,), (0.9,), (0.95,)], "match_probability double")
+    soft = expected_f1_cutoff(df, label_col=None, bins=100)
+    strict = expected_f1_cutoff(df, label_col=None, bins=100,
+                                strict_parity=True)
+    assert strict > soft
+    assert abs(strict - soft - 0.5 / 100) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # 6. CJK / Cyrillic language ID
 # ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_and_filters():
+    """PNG codec: encoder roundtrip (filter 0) plus decode of manually
+    filtered scanlines (Sub/Up/Average/Paeth) — no Spark needed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fuzzylink_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-build a PNG whose rows use filters 1..4 and verify reconstruction
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for r in range(h):
+        line = img[r].reshape(-1).astype(np.int16)
+        f = (r % 4) + 1
+        out = np.zeros_like(line)
+        for x in range(len(line)):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) % 256
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_read_table_csv_json_orc(spark, tmp_path):
+    from fuzzylink_spark.sources.tables import read_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    df.write.mode("overwrite").option("header", True).csv(str(tmp_path / "t.csv"))
+    df.write.mode("overwrite").json(str(tmp_path / "t.json"))
+    df.write.mode("overwrite").orc(str(tmp_path / "t.orc"))
+    for fmt in ("csv", "json", "orc"):
+        out = read_table(spark, str(tmp_path / f"t.{fmt}"),
+                         required=["id", "name"], fmt=fmt)
+        assert {r["name"] for r in out.collect()} == {"a", "b"}, fmt
 
 
 def test_lang_id_scripts(spark):
