@@ -343,6 +343,19 @@ def _q_qgram_jaccard1(spark, sf):
         "a_id", "b_id", F.round("f.jaccard_qgram", 6).alias("jacc1"))
 
 
+def _q_winnowing_fp(spark, sf):
+    """Winnowing fingerprints (exact-substring dedup primitive) in the
+    engine-independent lexicographic-min variant — DuckDB computes the
+    identical sliding-window minimum over the same 8-gram lists."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.dedup import winnowing_fingerprints
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(docs, k=8, w=16, hashed=False)
+
+
 def _q_soundex_neq(spark, sf):
     c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 50)
     # F8 soundex-inequality distance between name and a shuffled variant
@@ -903,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stop_ratio": _q_quality,
         "jw_pairs": _q_jw_pairs,
         "qgram_jaccard1": _q_qgram_jaccard1,
+        "winnowing_fingerprints": _q_winnowing_fp,
         "cosine_topk": _q_cosine_topk,
         "soundex_neq": _q_soundex_neq,
         "p4_pairwise_distinct": _q_p4_pairwise_distinct,
@@ -1066,6 +1080,29 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - jaccard(lower(c.c_name), lower(s.s_name)), 6) AS jacc1
             FROM customer c CROSS JOIN supplier s
             WHERE c.c_custkey <= 25 AND s.s_suppkey <= 40
+        """,
+        "winnowing_fingerprints": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t,
+                     greatest(length(lower(text)) - 7, 0) AS n_grams
+              FROM documents
+            ), gr AS (
+              SELECT doc_id, n_grams, t,
+                     list_transform(range(1, greatest(n_grams, 1) + 1),
+                                    i -> substr(t, CAST(i AS INT), 8)) AS grams
+              FROM g
+            ), fps AS (
+              SELECT doc_id,
+                     CASE WHEN n_grams > 0 THEN
+                       list_distinct(list_transform(
+                         range(1, greatest(n_grams - 15, 1) + 1),
+                         i -> list_aggregate(
+                           list_slice(grams, CAST(i AS INT), CAST(i AS INT) + 15),
+                           'min')))
+                     ELSE [t] END AS fp_list
+              FROM gr
+            )
+            SELECT doc_id, unnest(fp_list) AS fp FROM fps
         """,
         "cosine_topk": """
             WITH q AS (

@@ -260,6 +260,127 @@ def near_dup_dedup(
     )
 
 
+def winnowing_udf(k: int = 8, w: int = 16, hashed: bool = True):
+    """Series→Series pandas UDF: text -> array of winnowing fingerprints
+    (distinct sliding-window minima over k-gram values).
+
+    ``hashed`` (default): grams hash through the same vectorized rolling
+    polynomial used by MinHash (unbiased selection; one NumPy pass/doc).
+    ``hashed=False``: the lexicographic minimum gram STRING per window —
+    selection biased toward low-sorting grams, but engine-independent:
+    Python/Spark/DuckDB string comparison all follow code-point order
+    (== UTF-8 byte order), so the DuckDB oracle reproduces it verbatim.
+
+    An all-Catalyst formulation (transform over sequence with
+    slice + array_min) is expressible but measured ~70x slower — the
+    same higher-order-array allocation wall as MinHash shingling; this is
+    the sanctioned Arrow slow path."""
+    base = np.uint64(1_000_003)
+    pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # wraps mod 2^64
+
+    def _fps_hashed(t: str) -> list[int]:
+        bts = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(bts) < k:
+            h = np.uint64(0)
+            for b in bts:
+                h = h * base + np.uint64(b)
+            return [int(h.astype(np.int64))]
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        grams = (sliding_window_view(bts, k).astype(np.uint64)
+                 * pows[None, :]).sum(axis=1, dtype=np.uint64)
+        if len(grams) <= w:
+            mins = grams.min(keepdims=True)
+        else:
+            mins = sliding_window_view(grams, w).min(axis=1)
+        return [int(x) for x in np.unique(mins).astype(np.int64)]
+
+    def _fps_str(t: str) -> list[str]:
+        n = len(t) - k + 1
+        if n <= 0:
+            return [t]
+        grams = [t[i:i + k] for i in range(n)]
+        if n <= w:
+            return [min(grams)]
+        # monotonic-deque sliding minimum: O(n) regardless of w
+        from collections import deque
+
+        dq: deque[int] = deque()
+        out = set()
+        for i, g in enumerate(grams):
+            while dq and grams[dq[-1]] >= g:
+                dq.pop()
+            dq.append(i)
+            if dq[0] <= i - w:
+                dq.popleft()
+            if i >= w - 1:
+                out.add(grams[dq[0]])
+        return sorted(out)
+
+    ret = T.ArrayType(T.LongType() if hashed else T.StringType())
+
+    @F.pandas_udf(ret)
+    def _win(texts: pd.Series) -> pd.Series:
+        fn = _fps_hashed if hashed else _fps_str
+        return pd.Series([fn((t or "").lower()) for t in texts])
+
+    return _win
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    hashed: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): per sliding window of ``w`` consecutive ``k``-gram values,
+    keep the window minimum. GUARANTEE (unlike MinHash/SimHash, which are
+    probabilistic): two documents sharing an exact substring of length
+    >= k + w - 1 share at least one fingerprint — the exact-substring
+    dedup primitive for training-data pipelines. Documents shorter than
+    ``k`` fingerprint as their whole content.
+
+    Output: DataFrame[id_col, fp] (fp long when hashed, else string), one
+    row per distinct fingerprint per document; see ``winnowing_udf`` for
+    the kernel and the hashed/string selection trade-off."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            winnowing_udf(k=k, w=w, hashed=hashed)(F.col(content_col))
+        ).alias("fp"),
+    )
+
+
+def winnowing_candidate_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact-substring near-dup candidates DataFrame[a, b] (a < b): docs
+    sharing a winnowing fingerprint — a superset of all pairs sharing an
+    exact (k+w-1)-char substring. Equi self-join on the fingerprint with
+    the same ``max_bucket`` boilerplate bound as the LSH joins; verify
+    survivors with ``ngram_jaccard_pairs(shingle=k)`` or a direct content
+    compare."""
+    fp = winnowing_fingerprints(df, content_col, id_col, k=k, w=w)
+    sizes = fp.groupBy("fp").agg(F.count("*").alias("_n"))
+    bounded = fp.join(sizes.where(F.col("_n") <= max_bucket), "fp")
+    left = bounded.select("fp", F.col(id_col).alias("a"))
+    right = bounded.select("fp", F.col(id_col).alias("b"))
+    return (
+        left.join(right, "fp")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def simhash64_udf(seed: int = 11):
     """Series→Series pandas UDF: text -> 64-bit SimHash (signed long).
 

@@ -285,6 +285,36 @@ def test_png_roundtrip_and_filters():
     assert np.array_equal(decode_png(payload), img)
 
 
+@pytest.mark.parametrize("hashed", [True, False])
+def test_winnowing_exact_substring_guarantee(spark, hashed):
+    """Docs sharing an exact substring of length >= k+w-1 MUST share a
+    winnowing fingerprint (the SIGMOD'03 guarantee), for both the hashed
+    and the lexicographic selection variants."""
+    from fuzzylink_spark.operators.dedup import winnowing_candidate_pairs, winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog today"  # 49 chars
+    rows = [
+        (1, "prefix one %s suffix alpha" % shared),
+        (2, "totally different opening %s and another tail" % shared),
+        (3, "no overlap here at all just unrelated words and phrases"),
+        (4, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(docs, k=8, w=16, hashed=hashed)
+    f1 = {r["fp"] for r in fp.where("doc_id = 1").collect()}
+    f2 = {r["fp"] for r in fp.where("doc_id = 2").collect()}
+    f3 = {r["fp"] for r in fp.where("doc_id = 3").collect()}
+    assert f1 & f2, "shared 49-char substring must share a fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+    if hashed:
+        pairs = {(r["a"], r["b"]) for r in
+                 winnowing_candidate_pairs(docs, k=8, w=16).collect()}
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
+    # doc shorter than k still fingerprints (whole content)
+    assert fp.where("doc_id = 4").count() == 1
+
+
 def test_read_table_csv_json_orc(spark, tmp_path):
     from fuzzylink_spark.sources.tables import read_table
 
