@@ -52,6 +52,7 @@ def link_repo_files(
     config: LinkConfig | None = None,
     id_col: str = "file_id",
     twopass: bool = False,
+    labeler=None,
 ) -> dict:
     """Cluster repo files into entities. Returns dict with:
     - ``assignment``: DataFrame[file_id, cluster, content_sha256]
@@ -61,6 +62,9 @@ def link_repo_files(
     ``twopass=True`` routes through ``fuzzylink_twopass`` (histogram-first
     calibration + in-kernel accept filter): at 10^12 files the scored
     key-pair table never materializes — only accepted pairs do.
+    ``labeler`` enables the oracle-in-the-loop accuracy mode on either
+    path (classic: AL + recall search over the scored pair table;
+    twopass with ``config.learner='logit'``: the bounded band/top-k pool).
     """
     config = replace(config or LinkConfig(), by="name", blocking_keys=["lang"])
     keyed = files.withColumn("name", file_key()).withColumn(
@@ -72,12 +76,14 @@ def link_repo_files(
         from fuzzylink_spark.pipeline import fuzzylink_twopass
 
         res = fuzzylink_twopass(spark, sides, sides, by="name",
-                                blocking_keys=["lang"], config=config)
+                                blocking_keys=["lang"], config=config,
+                                labeler=labeler)
         scored, model, cutoff = res.pairs, res.model, res.cutoff
         accepted = scored  # pass 2 emits only accepted pairs
     else:
-        pairs = build_scored_pairs(spark, sides, sides, config)
-        scored, model = fit_and_score(pairs, config)
+        pairs = build_scored_pairs(spark, sides, sides, config,
+                                   labeler=labeler)
+        scored, model = fit_and_score(pairs, config, labeler)
         scored = scored.persist()
         # exclude trivial self-pairs from the cutoff search (accepted by
         # construction; they would skew the histogram) — the IR's `exact`

@@ -58,3 +58,36 @@ def test_repo_files_twopass_f1(spark):
     )
     m = pairwise_f1(pred_pairs, gold_pairs)
     assert m["f1"] >= 0.99, m
+
+
+def test_repo_files_twopass_al_f1(spark):
+    """Round-3: the oracle-in-the-loop accuracy mode composed with the
+    two-pass scale mode on the north-rule input shape — pairwise F1 gate
+    with the pair table never materializing."""
+    from fuzzylink_spark import LinkConfig
+    from fuzzylink_spark.operators.labeling import GoldLabeler
+    from fuzzylink_spark.repo_linkage import file_key
+
+    files, gold_pairs, _gold_assign = repo_files(spark, n_clusters=30)
+    idn = files.withColumn("name", file_key()).select("file_id", "name")
+    gold_names = (
+        gold_pairs
+        .join(idn.withColumnRenamed("file_id", "a")
+              .withColumnRenamed("name", "a_name"), "a")
+        .join(idn.withColumnRenamed("file_id", "b")
+              .withColumnRenamed("name", "b_name"), "b")
+        .select("a_name", "b_name")
+    )
+    gold_sym = gold_names.unionByName(
+        gold_names.select(F.col("b_name").alias("a_name"),
+                          F.col("a_name").alias("b_name")))
+    res = link_repo_files(
+        spark, files, config=LinkConfig(learner="logit", max_labels=2000),
+        twopass=True, labeler=GoldLabeler(gold_sym))
+    pred_pairs = clusters_to_pairs(
+        res["assignment"].select(
+            F.col("file_id").alias("id"), F.col("cluster").alias("component")
+        )
+    )
+    m = pairwise_f1(pred_pairs, gold_pairs)
+    assert m["f1"] >= 0.99, m
