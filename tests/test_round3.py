@@ -285,6 +285,24 @@ def test_png_roundtrip_and_filters():
     assert np.array_equal(decode_png(payload), img)
 
 
+def test_block_salt_plan_target_cells(spark):
+    """Adaptive tiling: target_cells shrinks the effective pair budget so
+    small inputs still fan out across the cluster; without it a 1M-pair
+    default budget would put this 160k-pair block on one core."""
+    from fuzzylink_spark.operators.features import block_salt_plan
+
+    uA = spark.range(400).select(
+        F.lit("b").alias("block_key"), F.col("id").cast("string").alias("key"))
+    uB = spark.range(400, 800).select(
+        F.lit("b").alias("block_key"), F.col("id").cast("string").alias("key"))
+    flat = block_salt_plan(uA, uB, pair_budget=1_000_000).first()
+    assert flat["ka"] * flat["kb"] == 1  # fits the budget: one tile
+    fanned = block_salt_plan(uA, uB, pair_budget=1_000_000,
+                             target_cells=8).first()
+    # budget shrinks to max(50k, 160k/8) = 50k -> ceil(160k/50k) = 4 cells
+    assert fanned["ka"] * fanned["kb"] >= 4
+
+
 @pytest.mark.parametrize("hashed", [True, False])
 def test_winnowing_exact_substring_guarantee(spark, hashed):
     """Docs sharing an exact substring of length >= k+w-1 MUST share a
