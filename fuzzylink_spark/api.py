@@ -41,7 +41,12 @@ def get_similarity_matrix(
     """Reference ``get_similarity_matrix(embeddings, strings_a, strings_b)``
     (R/get_similarity_matrix.R:16-42): all-pairs cosine, returned in melted
     long form DataFrame[A, B, sim] — the dense matrix never materializes
-    (its melt at R/fuzzylink.R:165 is the true relational semantics)."""
+    (its melt at R/fuzzylink.R:165 is the true relational semantics).
+
+    BOUNDED INPUTS ONLY (like ``brute_force_topk``): the crossJoin below
+    is deliberate reference parity for the exported all-pairs helper —
+    output is |A| x |B| rows. For large sides use the blocking pipeline
+    (``fuzzylink``) or the ANN operators instead of this helper."""
     ea = embeddings
     eb = embeddings
     if strings_a is not None:

@@ -318,10 +318,15 @@ def _cogrouped_tiles(
     pair_budget: int,
     max_salt: int,
     case_insensitive: bool,
+    salt_plan: DataFrame | None = None,
 ):
     """Shared tile machinery: adaptive 2-D salt plan, id/tile-coordinate
     attachment, pinned repartition, and the cogroup handle ready for any
-    per-tile kernel (melt / filtered melt / histogram)."""
+    per-tile kernel (melt / filtered melt / histogram). Pass a
+    pre-computed (persisted) ``salt_plan`` to share one tiling across
+    multiple passes over the same sides (the two-pass pipeline does —
+    fewer planning jobs, and both GEMM passes are guaranteed identical
+    tile boundaries)."""
     if emb is None and encoder is None:
         raise ValueError("need an encoder or an embedding table")
 
@@ -332,8 +337,9 @@ def _cogrouped_tiles(
 
     emb_used = None if encoder is not None else emb
     sc = uA.sparkSession.sparkContext
-    block_k = block_salt_plan(uA, uB, pair_budget, max_salt,
-                              target_cells=sc.defaultParallelism * 3).persist()
+    block_k = salt_plan if salt_plan is not None else block_salt_plan(
+        uA, uB, pair_budget, max_salt,
+        target_cells=sc.defaultParallelism * 3).persist()
     row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
     total_cells = int(row["c"] or 1)
     # 4 partition slots per tile: tiles are seconds of kernel compute, so
@@ -365,6 +371,7 @@ def cogrouped_pair_histogram(
     pair_budget: int = 250_000,
     max_salt: int = 4096,
     case_insensitive: bool = True,
+    salt_plan: DataFrame | None = None,
 ) -> DataFrame:
     """Pass 1 of the two-pass plan: the bounded 2-D (sim, jw) histogram of
     every NON-exact candidate pair, computed tile-locally and merged with
@@ -374,7 +381,7 @@ def cogrouped_pair_histogram(
     (a <=0.01%-mass bias on realistic blocking; the calibrator fits
     distribution shape, not exact counts)."""
     cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget, max_salt,
-                          case_insensitive)
+                          case_insensitive, salt_plan=salt_plan)
     per_tile = cg.applyInPandas(
         _hist_kernel_factory(encoder, bins, lo, hi),
         schema="bx int, by int, n long",
@@ -392,6 +399,7 @@ def cogrouped_pair_features(
     case_insensitive: bool = True,
     accept=None,
     band=None,
+    salt_plan: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation + cosine + JW in ONE cogrouped Arrow pass,
     emitting the NUMERIC pair IR (block_id, a_id, b_id, sim, jw, exact).
@@ -417,7 +425,7 @@ def cogrouped_pair_features(
     if band is not None and accept is None:
         raise ValueError("band emission requires accept=(posterior_fn, cutoff)")
     cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget, max_salt,
-                          case_insensitive)
+                          case_insensitive, salt_plan=salt_plan)
     schema = (PAIR_IR_SCHEMA if accept is None
               else (ACCEPT_IR_SCHEMA if band is None else BAND_IR_SCHEMA))
     return cg.applyInPandas(_gemm_melt_factory(encoder, accept, band),

@@ -471,13 +471,22 @@ def fuzzylink_twopass(
     def encoder(keys_batch: list[str]):
         return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
 
+    # one tiling for every pass (hist / band / accept): fewer planning
+    # jobs, and identical tile boundaries across passes by construction
+    from fuzzylink_spark.operators.features import block_salt_plan
+
+    salt_plan = block_salt_plan(
+        uA, uB, config.salt_pair_threshold,
+        target_cells=spark.sparkContext.defaultParallelism * 3).persist()
+
     # pass 1: bounded histogram -> driver-side EM + cutoff
     lo, hi = -1.0, 1.0
     width = (hi - lo) / bins
     cells = cogrouped_pair_histogram(
         uA, uB, encoder=encoder, bins=bins, lo=lo, hi=hi,
         pair_budget=config.salt_pair_threshold,
-        case_insensitive=config.exact_case_insensitive).collect()
+        case_insensitive=config.exact_case_insensitive,
+        salt_plan=salt_plan).collect()
     if not cells:
         raise ValueError("no non-exact candidate pairs to calibrate on")
     hist = np.array(
@@ -537,7 +546,8 @@ def fuzzylink_twopass(
         banded = cogrouped_pair_features(
             uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
             case_insensitive=config.exact_case_insensitive,
-            accept=(post, cutoff), band=(al_band_delta, al_band_cap, 2))
+            accept=(post, cutoff), band=(al_band_delta, al_band_cap, 2),
+            salt_plan=salt_plan)
         pool = banded.dropDuplicates(["a_id", "b_id"])
         pool = attach_pair_strings(pool, key_dict, block_dict).drop("accepted")
         # the pool is bounded — materialize it so the AL rounds iterate
@@ -593,7 +603,7 @@ def fuzzylink_twopass(
     accepted = cogrouped_pair_features(
         uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
         case_insensitive=config.exact_case_insensitive,
-        accept=(post, cutoff))
+        accept=(post, cutoff), salt_plan=salt_plan)
     accepted = accepted.withColumn(
         "match",
         F.when(F.col("exact"), F.lit("Yes")).otherwise(F.lit(None).cast("string")),
@@ -631,7 +641,7 @@ def fuzzylink_twopass(
             F.col("match").isin("Yes", "No")).count()
     # the accepted set is materialized in cache now — release the side
     # caches so repeated calls in one session don't accumulate storage
-    for df in (uA, uB, blocks):
+    for df in (uA, uB, blocks, salt_plan):
         df.unpersist()
     return LinkResult(linked=linked, pairs=accepted, cutoff=cutoff,
                       model=model_out, metrics=metrics)
