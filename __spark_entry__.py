@@ -820,8 +820,10 @@ def _q_neardup_pairwise_f1(spark, sf):
     from fuzzylink_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 10 == 0)
+    # planted ids live in the NEGATIVE namespace: collision-free against
+    # real doc_ids at any scale factor (doc_id + constant is not)
     dups = planted.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.expr("concat(substring(text, 1, greatest(length(text) - 25, 50)),"
                " ' zq')").alias("text"),
     )
@@ -832,7 +834,7 @@ def _q_neardup_pairwise_f1(spark, sf):
         verified.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     pred = clusters_to_pairs(assign)
     gold = planted.select(
-        F.col("doc_id").alias("a"), (F.col("doc_id") + 1_000_000).alias("b"))
+        (-F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"))
     m = pairwise_f1(pred, gold)
     return spark.createDataFrame(
         [(round(m["precision"], 6), round(m["recall"], 6), round(m["f1"], 6),
@@ -1196,7 +1198,7 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) AS han,
                 CAST(len(regexp_extract_all(text, '[぀-ゟ]'))
                    + len(regexp_extract_all(text, '[゠-ヿ]')) AS DOUBLE) AS kana,
-                CAST(len(regexp_extract_all(text, '[가-ퟯ]')) AS DOUBLE) AS hangul,
+                CAST(len(regexp_extract_all(text, '[가-힯]')) AS DOUBLE) AS hangul,
                 CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS DOUBLE) AS cyr,
                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
                             x -> x != '') AS t

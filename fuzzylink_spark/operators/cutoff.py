@@ -157,7 +157,8 @@ def expected_f1_cutoff(
 
 
 def expected_f1_cutoff_from_hist(ps, ws, fallback: float = 0.5,
-                                 yes_mass: float = 0.0) -> float:
+                                 yes_mass: float = 0.0,
+                                 strict_parity: bool = False) -> float:
     """Driver-side mirror of the running-sum program over an ALREADY
     bounded weighted (p, weight) histogram of unlabeled pairs (two-pass
     mode: pass 1 returns <= bins^2 cells, so no Spark job is needed to
@@ -190,6 +191,8 @@ def expected_f1_cutoff_from_hist(ps, ws, fallback: float = 0.5,
     best = int(np.flatnonzero(f1 == f1.max())[-1])  # highest-p tie-break
     if f1[best] <= 0.0:
         return fallback
+    if strict_parity:
+        return float(uniq[best])  # reference-exact argmax (R/fuzzylink.R:368-370)
     if best == 0:
         return float(uniq[0]) - 1e-9
     return float(uniq[best] + uniq[best - 1]) / 2.0

@@ -355,9 +355,12 @@ def _cogrouped_tiles(
                      other="ka", case_insensitive=case_insensitive)
     b = b.withColumnRenamed("_own", "sb").withColumnRenamed("_other", "sa")
     b = b.repartition(n_part, "block_id", "sa", "sb")
-    return a.groupby("block_id", "sa", "sb").cogroup(
+    cg = a.groupby("block_id", "sa", "sb").cogroup(
         b.groupby("block_id", "sa", "sb")
     )
+    # hand the internally-persisted plan back for caller-side release
+    # (None when the caller supplied its own salt_plan and owns it)
+    return cg, (block_k if salt_plan is None else None)
 
 
 def cogrouped_pair_histogram(
@@ -380,13 +383,16 @@ def cogrouped_pair_histogram(
     calibrate. Multi-block duplicate pairs are counted once per block
     (a <=0.01%-mass bias on realistic blocking; the calibrator fits
     distribution shape, not exact counts)."""
-    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget, max_salt,
-                          case_insensitive, salt_plan=salt_plan)
+    cg, own_plan = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
+                                    max_salt, case_insensitive,
+                                    salt_plan=salt_plan)
     per_tile = cg.applyInPandas(
         _hist_kernel_factory(encoder, bins, lo, hi),
         schema="bx int, by int, n long",
     )
-    return per_tile.groupBy("bx", "by").agg(F.sum("n").alias("n"))
+    out = per_tile.groupBy("bx", "by").agg(F.sum("n").alias("n"))
+    out._salt_plan = own_plan  # caller may unpersist after consuming
+    return out
 
 
 def cogrouped_pair_features(
@@ -424,12 +430,15 @@ def cogrouped_pair_features(
     """
     if band is not None and accept is None:
         raise ValueError("band emission requires accept=(posterior_fn, cutoff)")
-    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget, max_salt,
-                          case_insensitive, salt_plan=salt_plan)
+    cg, own_plan = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
+                                    max_salt, case_insensitive,
+                                    salt_plan=salt_plan)
     schema = (PAIR_IR_SCHEMA if accept is None
               else (ACCEPT_IR_SCHEMA if band is None else BAND_IR_SCHEMA))
-    return cg.applyInPandas(_gemm_melt_factory(encoder, accept, band),
-                            schema=schema)
+    out = cg.applyInPandas(_gemm_melt_factory(encoder, accept, band),
+                           schema=schema)
+    out._salt_plan = own_plan  # caller may unpersist after consuming
+    return out
 
 
 def pair_dictionaries(uA: DataFrame, uB: DataFrame) -> tuple[DataFrame, DataFrame]:

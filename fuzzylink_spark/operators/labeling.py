@@ -97,7 +97,8 @@ class CallbackLabeler:
 
     def __init__(self, fn: Callable[[list[tuple[str, str]]], list[str]],
                  spark=None, case_insensitive: bool = True,
-                 record_type: str = "entity", instructions: str | None = None):
+                 record_type: str | None = None,
+                 instructions: str | None = None):
         self.fn = fn
         self.spark = spark
         self.case_insensitive = case_insensitive
@@ -107,11 +108,13 @@ class CallbackLabeler:
     def set_context(self, record_type: str | None = None,
                     instructions: str | None = None) -> None:
         """Adopt the pipeline's prompt context (called by ``fuzzylink``
-        from LinkConfig; explicit constructor arguments win only if the
-        pipeline passes None)."""
-        if record_type is not None:
+        from LinkConfig). EXPLICIT constructor arguments always win — the
+        pipeline only fills slots the user left unset (None), so a
+        labeler built with record_type='company' keeps it even when the
+        config carries the 'entity' default."""
+        if self.record_type is None and record_type is not None:
             self.record_type = record_type
-        if instructions is not None:
+        if self.instructions is None and instructions is not None:
             self.instructions = instructions
 
     def _call(self, batch: list[tuple[str, str]]) -> list[str]:
@@ -124,7 +127,7 @@ class CallbackLabeler:
         has_var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
                          for p in params.values())
         kwargs = {}
-        for name, value in (("record_type", self.record_type),
+        for name, value in (("record_type", self.record_type or "entity"),
                             ("instructions", self.instructions)):
             if has_var_kw or name in params:
                 kwargs[name] = value

@@ -190,6 +190,7 @@ def build_scored_pairs(
         scored = cogrouped_pair_features(
             uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
             case_insensitive=config.exact_case_insensitive)
+        salt_plan_cache = getattr(scored, "_salt_plan", None)
         n_multi, n_removal_est = check.result()
     # the multi-block check fully scanned both sides, so the P1 drop
     # observations are complete — surface the reference's warning now
@@ -257,7 +258,9 @@ def build_scored_pairs(
         scored = merge_labels(scored, labels)
     # expose the persisted intermediates so long-lived sessions can release
     # them once a downstream result is materialized (fuzzylink() does)
-    scored._link_intermediates = [uA, uB, blocks]
+    scored._link_intermediates = [
+        df for df in (uA, uB, blocks, salt_plan_cache) if df is not None
+    ]
     return scored
 
 
@@ -447,6 +450,16 @@ def fuzzylink_twopass(
                      blocking_keys=list(blocking_keys or []))
     validate_columns(dfA, [by, *config.blocking_keys], name="dfA")
     validate_columns(dfB, [by, *config.blocking_keys], name="dfB")
+    if labeler is not None and (
+            config.learner != "logit" or list(config.features) != ["sim", "jw"]):
+        # fail BEFORE pass 1 — at 10^12 pairs the histogram GEMM is hours
+        # of compute, and this check needs only config + labeler
+        raise ValueError(
+            "two-pass active learning supports learner='logit' on the "
+            "in-tile features ['sim', 'jw'] only: the refit calibrator "
+            "must re-score the pass-1 histogram and run inside pass-2 "
+            "tiles (use the classic fuzzylink() for other learners)"
+        )
     blocking = config.blocking_keys
 
     a = add_block_key(drop_incomplete(dfA, by, blocking, warn=False), blocking)
@@ -511,9 +524,9 @@ def fuzzylink_twopass(
     exact_row = ea.join(eb, ["block_key", "ci"]).agg(
         F.sum(F.col("na") * F.col("nb")).alias("n")).first()
     n_exact = float(exact_row["n"] or 0)
-    cutoff = expected_f1_cutoff_from_hist(p_cells, hist[:, 2],
-                                          fallback=config.fallback_cutoff,
-                                          yes_mass=n_exact)
+    cutoff = expected_f1_cutoff_from_hist(
+        p_cells, hist[:, 2], fallback=config.fallback_cutoff,
+        yes_mass=n_exact, strict_parity=config.cutoff_strict_parity)
 
     key_dict, block_dict = pair_dictionaries(uA, uB)
     model_out = model
@@ -524,13 +537,7 @@ def fuzzylink_twopass(
         # per tile) — the kernel-weighted sampler's support — the AL loop
         # labels/refits a logit on it, and the pass-1 histogram is
         # re-scored under the refit model for the final cutoff.
-        if config.learner != "logit" or list(config.features) != ["sim", "jw"]:
-            raise ValueError(
-                "two-pass active learning supports learner='logit' on the "
-                "in-tile features ['sim', 'jw'] only: the refit calibrator "
-                "must re-score the pass-1 histogram and run inside pass-2 "
-                "tiles (use the classic fuzzylink() for other learners)"
-            )
+        # (learner/features validated at function entry, before pass 1.)
         if hasattr(labeler, "set_context"):
             labeler.set_context(record_type=config.record_type,
                                 instructions=config.instructions)
@@ -578,7 +585,8 @@ def fuzzylink_twopass(
         model_out = logit_model
         cutoff = expected_f1_cutoff_from_hist(
             post_refit(hist[:, 0], hist[:, 1]), hist[:, 2],
-            fallback=config.fallback_cutoff, yes_mass=n_exact)
+            fallback=config.fallback_cutoff, yes_mass=n_exact,
+            strict_parity=config.cutoff_strict_parity)
 
         # reference recall search (M7, R/fuzzylink.R:393-459) on the pool:
         # rescore with the COMPOSED posterior (the same scores pass 2b
@@ -675,29 +683,40 @@ def fuzzylink(
                             instructions=config.instructions)
 
     pairs = build_scored_pairs(spark, dfA, dfB, config, ckpt, labeler)
-    scored, model = fit_and_score(pairs, config, labeler)
     # scored STAYS persisted past return: LinkResult.linked/.pairs are lazy
     # plans over it, and unpersisting here would make the caller's first
     # action re-run the entire featurize GEMM. Ownership passes to the
-    # caller (LinkResult.release()).
-    scored = scored.persist()
-    cutoff = expected_f1_cutoff(
-        scored, bins=config.cutoff_bins, exact=exact_cutoff,
-        fallback=config.fallback_cutoff,
-        strict_parity=config.cutoff_strict_parity,
-    )
-    accepted = accepted_matches(scored, cutoff)
-    linked = assemble(dfA, dfB, accepted, config)
-    metrics = {
-        "cutoff": cutoff,
-        "n_pairs": scored.count(),
-        "n_accepted": accepted.count(),
-    }
+    # caller (LinkResult.release()) — but only a SUCCESSFUL return hands
+    # over a handle, so any error path (degenerate labels in the fit, a
+    # failing sink, ...) must release the caches itself or repeated
+    # failed calls leak executor storage.
+    scored = None
+    try:
+        scored, model = fit_and_score(pairs, config, labeler)
+        scored = scored.persist()
+        cutoff = expected_f1_cutoff(
+            scored, bins=config.cutoff_bins, exact=exact_cutoff,
+            fallback=config.fallback_cutoff,
+            strict_parity=config.cutoff_strict_parity,
+        )
+        accepted = accepted_matches(scored, cutoff)
+        linked = assemble(dfA, dfB, accepted, config)
+        metrics = {
+            "cutoff": cutoff,
+            "n_pairs": scored.count(),
+            "n_accepted": accepted.count(),
+        }
+        ckpt.write_lineage()
+    except BaseException:
+        if scored is not None:
+            scored.unpersist()
+        for df in getattr(pairs, "_link_intermediates", []):
+            df.unpersist()
+        raise
     # scored is materialized in cache now — the upstream side caches
     # (uA/uB/blocks) are dead weight; release them so repeated calls
     # in one session don't accumulate storage
     for df in getattr(pairs, "_link_intermediates", []):
         df.unpersist()
-    ckpt.write_lineage()
     return LinkResult(linked=linked, pairs=scored, cutoff=cutoff,
                       model=model, metrics=metrics)

@@ -91,7 +91,8 @@ def link_repo_files(
         nontrivial = scored.where(~F.col("exact")) if "exact" in scored.columns \
             else scored.where(F.lower(F.col("A")) != F.lower(F.col("B")))
         cutoff = expected_f1_cutoff(nontrivial, bins=config.cutoff_bins,
-                                    fallback=config.fallback_cutoff)
+                                    fallback=config.fallback_cutoff,
+                                    strict_parity=config.cutoff_strict_parity)
         accepted = accepted_matches(scored, cutoff)
 
     # key pairs -> file-id edges: two joins against the (key -> id) map

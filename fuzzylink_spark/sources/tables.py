@@ -33,19 +33,29 @@ def read_table(spark: SparkSession, path: str, required: list[str] | None = None
     - ``iceberg``: table-format load (partition pruning + snapshots; needs
       the runtime jars on a real cluster);
     - ``csv`` / ``json``: ingestion-side formats. Schema inference costs an
-      extra pass — pass an explicit ``schema=`` option at scale, and
-      convert to parquet/Iceberg before iterative workloads (no pushdown,
-      full-row text parsing on every scan).
+      extra pass — pass ``schema=`` (a DDL string or StructType, applied
+      via ``DataFrameReader.schema`` and disabling inference) at scale,
+      and convert to parquet/Iceberg before iterative workloads (no
+      pushdown, full-row text parsing on every scan).
+
+    ``options`` pass through to the reader; csv defaults
+    (header/inferSchema true) are overridable.
     """
+    schema = options.pop("schema", None)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     if fmt == "iceberg":
-        df = spark.read.format("iceberg").load(path)
+        df = reader.format("iceberg").load(path)
     elif fmt == "csv":
-        df = spark.read.options(header="true", inferSchema="true",
-                                **options).csv(path)
+        opts = {"header": "true",
+                "inferSchema": "false" if schema is not None else "true"}
+        opts.update(options)
+        df = reader.options(**opts).csv(path)
     elif fmt in ("json", "orc"):
-        df = getattr(spark.read.options(**options), fmt)(path)
+        df = getattr(reader.options(**options), fmt)(path)
     else:
-        df = spark.read.options(**options).parquet(path)
+        df = reader.options(**options).parquet(path)
     if required:
         validate_columns(df, required, name=path)
     return df

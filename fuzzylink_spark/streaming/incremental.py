@@ -176,7 +176,15 @@ def make_link_batch_fn(
         from fuzzylink_spark.operators.features import attach_pair_strings, pair_dictionaries
 
         key_dict, block_dict = pair_dictionaries(uA, uB)
-        sink_fn(batch_id, attach_pair_strings(matches, key_dict, block_dict))
+        try:
+            sink_fn(batch_id, attach_pair_strings(matches, key_dict, block_dict))
+        finally:
+            # release this batch's internally-persisted salt plan — a
+            # long-running stream would otherwise accumulate one cached
+            # plan per micro-batch
+            sp = getattr(pairs, "_salt_plan", None)
+            if sp is not None:
+                sp.unpersist()
 
     return process_batch
 
@@ -277,13 +285,17 @@ def compact_cluster_assignment(spark, assignment_dir: str) -> None:
     directory (breaking the read-overwrite-same-path cycle), then swapped
     in with Hadoop FileSystem renames — works on HDFS/local alike and
     never collects the assignment table to the driver (at 10^9 ids the
-    old collect()-based rewrite was a guaranteed driver OOM)."""
-    latest = read_cluster_assignment(spark, assignment_dir).withColumn(
-        "batch_id", F.lit(-1).cast("long")
-    )
+    old collect()-based rewrite was a guaranteed driver OOM).
+
+    Crash recovery: a death between the two renames leaves the complete
+    table under the ``__compact_old`` sibling; re-running compaction (or
+    any call to this function) restores it first. Readers racing the
+    swap window can observe a missing directory for the instant between
+    the renames — schedule compaction off the read path, as with any
+    non-transactional table layout (Iceberg/Delta commits remove even
+    that window on a real deployment)."""
     tmp_dir = assignment_dir.rstrip("/") + "__compact_tmp"
     old_dir = assignment_dir.rstrip("/") + "__compact_old"
-    latest.write.mode("overwrite").parquet(tmp_dir)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
@@ -291,9 +303,17 @@ def compact_cluster_assignment(spark, assignment_dir: str) -> None:
         return jvm.org.apache.hadoop.fs.Path(p)
 
     fs = _path(assignment_dir).getFileSystem(conf)
-    # atomic-ish swap: current -> old, tmp -> current, drop old. If the
-    # process dies between the renames, the tmp/old dirs hold a complete
-    # copy — nothing is lost, re-running compaction heals.
+    # heal a previous crash between the renames: the old dir holds the
+    # last complete table
+    if not fs.exists(_path(assignment_dir)) and fs.exists(_path(old_dir)):
+        if not fs.rename(_path(old_dir), _path(assignment_dir)):
+            raise OSError(
+                f"compact: recovery rename {old_dir} -> {assignment_dir} failed")
+    latest = read_cluster_assignment(spark, assignment_dir).withColumn(
+        "batch_id", F.lit(-1).cast("long")
+    )
+    latest.write.mode("overwrite").parquet(tmp_dir)
+    # swap: current -> old, tmp -> current, drop old
     fs.delete(_path(old_dir), True)
     if not fs.rename(_path(assignment_dir), _path(old_dir)):
         raise OSError(f"compact: rename {assignment_dir} -> {old_dir} failed")

@@ -208,6 +208,24 @@ def test_fuzzylink_threads_context_to_labeler(spark):
     assert seen.get("instructions") == "compare names"
 
 
+def test_callback_labeler_constructor_context_wins(spark):
+    """Explicit constructor context survives the pipeline's set_context
+    (which must only fill slots the user left unset)."""
+    seen: dict = {}
+
+    def fn(batch, record_type=None, instructions=None):
+        seen["record_type"] = record_type
+        seen["instructions"] = instructions
+        return ["No"] * len(batch)
+
+    lab = CallbackLabeler(fn, spark, record_type="company")
+    lab.set_context(record_type="entity", instructions="from config")
+    pairs = spark.createDataFrame([("a", "b")], "A string, B string")
+    lab.label_pairs(pairs).collect()
+    assert seen["record_type"] == "company"      # constructor wins
+    assert seen["instructions"] == "from config"  # unset slot filled
+
+
 def test_callback_labeler_plain_fn_still_works(spark):
     lab = CallbackLabeler(lambda batch: ["Yes"] * len(batch), spark)
     pairs = spark.createDataFrame([("a", "b")], "A string, B string")
