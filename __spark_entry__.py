@@ -356,6 +356,34 @@ def _q_winnowing_fp(spark, sf):
     return winnowing_fingerprints(docs, k=8, w=16, hashed=False)
 
 
+def _q_exact_substring_pairs(spark, sf):
+    """Guaranteed exact-substring dedup: planted docs embed a 60-char
+    slice of a source doc; winnowing recall + batch-vectorized
+    longest-common-substring verification recovers every planted pair
+    with the true shared length. Hash-bucketed candidates — rows-only."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.dedup import exact_substring_pairs
+    # bounded fixture: synthetic same-lang text shares many common 8-grams,
+    # so the full table's fingerprint buckets explode into O(n^2) verify
+    # candidates — k=10 grams + a 1-in-4 doc sample keep the verify set
+    # proportionate (the operator is built for corpora where genuinely
+    # shared long substrings are rare, not for a table of near-clones)
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 20 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat(F.lit("prefix pad words here "),
+                 F.substring("text", 10, 60),
+                 F.lit(" suffix trailer")).alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+    out = exact_substring_pairs(corpus, min_len=40, k=10, w=16)
+    return out.select("a", "b", "common_len")
+
+
 def _q_soundex_neq(spark, sf):
     c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 50)
     # F8 soundex-inequality distance between name and a shuffled variant
@@ -948,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_topk,
         "neardup_pairwise_f1": _q_neardup_pairwise_f1,
         "twopass_al_accepted": _q_twopass_al_accepted,
+        "exact_substring_pairs": _q_exact_substring_pairs,
     }
 
 

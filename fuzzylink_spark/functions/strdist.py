@@ -384,6 +384,48 @@ def osa_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
     return out
 
 
+def common_substring_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
+    """Vectorized LONGEST COMMON SUBSTRING length for N (a_i, b_i) pairs
+    (the exact-substring dedup verify kernel — note: substring, not the
+    LCS subsequence of ``lcs_batch``).
+
+    dp(i,j) = dp(i-1,j-1)+1 if a_i == b_j else 0 has no in-row
+    dependence, so each DP row is ONE vectorized compare+shift across the
+    whole batch — O(max_len) numpy row ops total, zero per-pair Python.
+    Unlike the edit-distance kernels there is no scalar-fallback length
+    cap: rows pad to the batch max (memory O(N x Lmax) int32 — size your
+    Arrow batches accordingly for very long documents). Padding (-1 on
+    both sides) is masked so phantom tail runs can't form."""
+    n = len(a_strs)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    la_all = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
+    lb_all = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
+    A, la = _pad_codes(a_strs, int(la_all.max()))
+    B, lb = _pad_codes(b_strs, int(lb_all.max()))
+    La, Lb = A.shape[1], B.shape[1]
+    bvalid = np.arange(Lb)[None, :] < lb[:, None]
+    best = np.zeros(n, dtype=np.int32)
+    prev = np.zeros((n, Lb + 1), dtype=np.int32)
+    for i in range(1, La + 1):
+        eq = (A[:, i - 1][:, None] == B) & bvalid & (la >= i)[:, None]
+        cur = np.zeros_like(prev)
+        cur[:, 1:] = np.where(eq, prev[:, :-1] + 1, 0)
+        np.maximum(best, cur.max(axis=1), out=best)
+        prev = cur
+    return best.astype(np.float64)
+
+
+@F.pandas_udf(T.DoubleType())
+def common_substring_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batch-vectorized longest-common-substring length, lowercased
+    (consistent with the winnowing fingerprints it verifies)."""
+    al = a.fillna("").str.lower().tolist()
+    bl = b.fillna("").str.lower().tolist()
+    return pd.Series(common_substring_batch(al, bl), dtype="float64")
+
+
 def lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
     """Vectorized LCS edit distance for N pairs (== lcs_distance)."""
     n = len(a_strs)

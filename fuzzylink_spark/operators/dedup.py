@@ -381,6 +381,54 @@ def winnowing_candidate_pairs(
     )
 
 
+def exact_substring_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 23,
+    k: int = 8,
+    w: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """GUARANTEED exact-substring near-dup pairs DataFrame[a, b,
+    common_len]: every document pair sharing an exact substring of length
+    >= ``min_len`` appears (winnowing recall is complete above the
+    k+w-1 threshold), and every emitted pair is VERIFIED by the true
+    longest-common-substring length — the training-data contamination /
+    license-text / boilerplate detector with no probabilistic slack.
+
+    Requires ``min_len >= k + w - 1`` (below that the fingerprint recall
+    guarantee doesn't hold — lower k/w instead). Cost: candidates are an
+    equi join on fingerprints (``max_bucket``-bounded); verification is
+    one batch-vectorized O(La*Lb) DP per candidate pair, so keep the
+    candidate set bounded (the whole point of winnowing)."""
+    if min_len < k + w - 1:
+        raise ValueError(
+            f"min_len={min_len} is below the winnowing recall guarantee "
+            f"threshold k+w-1={k + w - 1}: pairs sharing only a shorter "
+            "substring can miss every fingerprint window — lower k or w"
+        )
+    from fuzzylink_spark.functions.strdist import common_substring_udf
+
+    cand = winnowing_candidate_pairs(df, content_col, id_col, k=k, w=w,
+                                     max_bucket=max_bucket)
+    texts = df.select(F.col(id_col), F.col(content_col))
+    a = texts.select(F.col(id_col).alias("a"), F.col(content_col).alias("_ta"))
+    b = texts.select(F.col(id_col).alias("b"), F.col(content_col).alias("_tb"))
+    joined = cand.join(a, "a").join(b, "b")
+    # the verify stage is compute-dense (O(La*Lb) DP per pair) but tiny in
+    # BYTES — AQE's byte-based coalescing would collapse it to one task
+    # (the same wall the GEMM tiles hit); pin the fan-out explicitly
+    n_part = max(joined.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    joined = joined.repartition(n_part)
+    return (
+        joined
+        .withColumn("common_len", common_substring_udf(F.col("_ta"), F.col("_tb")))
+        .where(F.col("common_len") >= min_len)
+        .select("a", "b", F.col("common_len").cast("long").alias("common_len"))
+    )
+
+
 def simhash64_udf(seed: int = 11):
     """Series→Series pandas UDF: text -> 64-bit SimHash (signed long).
 

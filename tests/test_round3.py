@@ -351,6 +351,60 @@ def test_winnowing_exact_substring_guarantee(spark, hashed):
     assert fp.where("doc_id = 4").count() == 1
 
 
+def test_common_substring_kernel_parity():
+    """Batch longest-common-substring kernel vs a brute-force reference
+    on random strings (padding masks, empty strings, full containment)."""
+    import random
+
+    from fuzzylink_spark.functions.strdist import common_substring_batch
+
+    def ref(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                ln = 0
+                while i + ln < len(a) and j + ln < len(b) and a[i + ln] == b[j + ln]:
+                    ln += 1
+                best = max(best, ln)
+        return best
+
+    rng = random.Random(4)
+    pairs = [("", ""), ("abc", ""), ("abc", "abc"), ("abc", "zabcy")]
+    for _ in range(60):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randrange(0, 18)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randrange(0, 18)))
+        pairs.append((a, b))
+    got = common_substring_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert int(g) == ref(a, b), (a, b, g)
+
+
+def test_exact_substring_pairs(spark):
+    """Winnowing recall + true-LCS-substring verification: pairs sharing
+    >= min_len chars are found with the exact shared length; shorter
+    overlaps are rejected; sub-threshold min_len raises."""
+    import pytest as _pytest
+
+    from fuzzylink_spark.operators.dedup import exact_substring_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    short = "only fifteen ch"                               # 15 chars
+    rows = [
+        (1, "alpha start %s end one" % shared),
+        (2, "beta opening %s closing two" % shared),
+        (3, "gamma %s unrelated tail content here three" % short),
+        (4, "delta %s and nothing else in common four" % short),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r["common_len"]
+           for r in exact_substring_pairs(docs, min_len=23).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)] >= len(shared)
+    assert all(p == (1, 2) for p in out)  # the 15-char overlap is rejected
+    with _pytest.raises(ValueError, match="guarantee"):
+        exact_substring_pairs(docs, min_len=10, k=8, w=16)
+
+
 def test_read_table_csv_json_orc(spark, tmp_path):
     from fuzzylink_spark.sources.tables import read_table
 
