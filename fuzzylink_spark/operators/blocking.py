@@ -71,7 +71,17 @@ def p1_drop_warning(df: DataFrame) -> int | None:
     obs = getattr(df, "_p1_observation", None)
     if obs is None:
         return None
-    vals = obs.get
+    try:
+        vals = obs.get
+    except Exception:  # noqa: BLE001
+        # best-effort by design: when the observed subtree was elided at
+        # runtime (e.g. AQE empty-relation propagation after a blocking
+        # semi-join leaves the side empty), the observation yields an
+        # empty metrics row and the JVM-side conversion asserts — the
+        # warning is cosmetic, never worth failing the pipeline for
+        log.debug("P1 drop observation unavailable for %s",
+                  getattr(df, "_p1_name", "input"))
+        return None
     n = int(vals.get("n_dropped") or 0)
     if n > 0:
         log.warning("Dropping %d observation(s) with missing values from %s.",

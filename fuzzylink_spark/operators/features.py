@@ -61,27 +61,30 @@ def score_pairs(pairs_with_emb: DataFrame, full_features: bool = False) -> DataF
 # ---------------------------------------------------------------------------
 # cogrouped per-block GEMM (the production hot path)
 #
-# The melt IR is NUMERIC: (block_id, a_id, b_id, sim, jw, exact) — ids are
-# xxhash64 of the key strings, computed in Catalyst on the O(n) sides
-# before the cogroup. The O(n^2) melted pair rows therefore carry five
-# fixed-width columns instead of three strings, which cuts the dominant
-# Arrow-serialize + JVM row-decode cost (round-1 measured 15-20 core-µs/
-# pair on string melt vs ~8 µs of kernel work) AND every downstream
-# shuffle/persist of the pair table. Strings rejoin via the (small)
-# distinct-key dictionary only where a consumer needs them
-# (``attach_pair_strings``). 64-bit id collisions merge two keys with
-# probability ~n^2/2^65 — negligible below ~10^9 distinct keys per run.
+# The melt IR is NUMERIC and NARROW: (block_id i32, a_id i64, b_id i64,
+# sim f32, jw f32, exact bool) = 29 B/pair vs 41 B for the naive
+# all-64-bit row and ~60+ B for a string melt. Key ids are xxhash64 of
+# the key strings, computed in Catalyst on the O(n) sides before the
+# cogroup (collisions ~n^2/2^65 — negligible below ~10^9 distinct keys);
+# block ids are DENSE int32 ranks assigned in the salt plan (collision-
+# free by construction — a 32-bit *hash* would cross-pair distinct blocks
+# at ~10^5 blocks). sim is float32-exact (the GEMM itself runs in f32);
+# jw quantizes at ~6e-8, far below any decision threshold. The melted
+# O(n^2) rows are the dominant Arrow-serialize + JVM-decode + shuffle
+# cost of the whole engine, so every byte/pair here is ~2.5% of the
+# hot-path bandwidth. Strings rejoin via the (small) dictionaries only
+# where a consumer needs them (``attach_pair_strings``).
 # ---------------------------------------------------------------------------
 
-PAIR_IR_SCHEMA = ("block_id long, a_id long, b_id long, "
-                  "sim double, jw double, exact boolean")
+PAIR_IR_SCHEMA = ("block_id int, a_id long, b_id long, "
+                  "sim float, jw float, exact boolean")
 
 _EMPTY_MELT = pd.DataFrame(
-    {"block_id": pd.Series([], dtype="int64"),
+    {"block_id": pd.Series([], dtype="int32"),
      "a_id": pd.Series([], dtype="int64"),
      "b_id": pd.Series([], dtype="int64"),
-     "sim": pd.Series([], dtype="float64"),
-     "jw": pd.Series([], dtype="float64"),
+     "sim": pd.Series([], dtype="float32"),
+     "jw": pd.Series([], dtype="float32"),
      "exact": pd.Series([], dtype="bool")}
 )
 
@@ -97,11 +100,11 @@ def _tile_features(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame, encoder):
     else:
         A = np.asarray(a_pdf["embedding"].tolist(), dtype=np.float32)
         B = np.asarray(b_pdf["embedding"].tolist(), dtype=np.float32)
-    sims = (A @ B.T).astype(np.float64).ravel()
+    sims = (A @ B.T).ravel()  # float32: the GEMM's native precision
     na, nb = len(a_pdf), len(b_pdf)
     a_low = [k.lower() for k in a_keys]
     b_low = [k.lower() for k in b_keys]
-    jw = jaro_winkler_cross(a_low, b_low).ravel()
+    jw = jaro_winkler_cross(a_low, b_low).ravel().astype(np.float32)
     exact = np.repeat(a_pdf["ci"].to_numpy(np.int64), nb) == np.tile(
         b_pdf["ci"].to_numpy(np.int64), na
     )
@@ -144,7 +147,7 @@ def _gemm_melt_factory(encoder=None, accept=None, band=None):
         if accept is None:
             return pd.DataFrame(
                 {
-                    "block_id": np.full(na * nb, key[0], dtype=np.int64),
+                    "block_id": np.full(na * nb, key[0], dtype=np.int32),
                     "a_id": a_rep,
                     "b_id": b_rep,
                     "sim": sims,
@@ -153,7 +156,12 @@ def _gemm_melt_factory(encoder=None, accept=None, band=None):
                 }
             )
         posterior_fn, cutoff = accept
-        p = np.where(exact, 1.0, posterior_fn(sims, jw))
+        # posterior in float64 on the f32-valued features — bit-identical
+        # to the classic path, where Catalyst casts the f32 IR columns to
+        # double before the same posterior expression
+        p = np.where(exact, 1.0,
+                     posterior_fn(sims.astype(np.float64),
+                                  jw.astype(np.float64)))
         acc = exact | (p > cutoff)
         keep = acc
         if band is not None:
@@ -184,7 +192,7 @@ def _gemm_melt_factory(encoder=None, accept=None, band=None):
                         top_cols = np.argpartition(-cm, k_eff - 1, axis=1)[:, :k_eff]
                     keep[rows_rep + top_cols.ravel()] = True
         out = {
-            "block_id": np.full(int(keep.sum()), key[0], dtype=np.int64),
+            "block_id": np.full(int(keep.sum()), key[0], dtype=np.int32),
             "a_id": a_rep[keep],
             "b_id": b_rep[keep],
             "sim": sims[keep],
@@ -222,8 +230,12 @@ def _hist_kernel_factory(encoder, bins: int, lo: float, hi: float):
                                  "n": pd.Series([], dtype="int64")})
         sims, jw, exact, _na, _nb = _tile_features(a_pdf, b_pdf, encoder)
         nontrivial = ~exact
-        bx = np.clip(((sims[nontrivial] - lo) / width), 0, bins - 1).astype(np.int64)
-        by = np.clip(((jw[nontrivial] - lo) / width), 0, bins - 1).astype(np.int64)
+        # bin in float64 so bucket edges match the classic path, which
+        # bins the double-cast IR columns
+        s64 = sims[nontrivial].astype(np.float64)
+        j64 = jw[nontrivial].astype(np.float64)
+        bx = np.clip(((s64 - lo) / width), 0, bins - 1).astype(np.int64)
+        by = np.clip(((j64 - lo) / width), 0, bins - 1).astype(np.int64)
         counts = np.bincount(bx * bins + by, minlength=bins * bins)
         nz = np.nonzero(counts)[0]
         return pd.DataFrame(
@@ -242,24 +254,30 @@ def _salted_side(u: DataFrame, emb: DataFrame | None, block_k: DataFrame,
     """Attach int ids + 2-D tile coordinates (and, on the external-
     embedding path, the vectors) to one distinct-key side.
 
-    ``block_k`` maps block_key -> (ka, kb): the within-block pair matrix is
-    tiled ka × kb (blocked-GEMM style). Each side hashes into its own
-    coordinate and replicates across the other's — so replication is
+    ``block_k`` maps block_key -> (block_id, ka, kb): the within-block pair
+    matrix is tiled ka × kb (blocked-GEMM style). Each side hashes into its
+    own coordinate and replicates across the other's — so replication is
     O(sqrt(cells)) per side instead of O(cells) on one side, which keeps
     the shuffled volume near-minimal for any block size.
 
     Ids computed here (Catalyst, O(n) side rows — never per pair):
-    ``block_id``/``id`` = xxhash64 of block key / key; ``ci`` = xxhash64 of
-    the lowercased key, so the kernel's exact-match flag is an int compare
-    (case-sensitive mode hashes the raw key, reference parity)."""
+    ``block_id`` = the plan's DENSE int32 rank (collision-free; the melt
+    emits it per pair, so 4 bytes beats a 64-bit hash and a 32-bit hash
+    would merge distinct blocks); ``id`` = xxhash64 of the key; ``ci`` =
+    xxhash64 of the lowercased key, so the kernel's exact-match flag is an
+    int compare (case-sensitive mode hashes the raw key, reference
+    parity). CONTRACT: ``block_k`` must cover every block key present in
+    ``u`` (block_salt_plan's full-outer stats guarantee it when built from
+    the same sides); uncovered rows are dropped — grouping them under a
+    shared fallback id would cross-pair unrelated blocks."""
     side = u.join(emb, "key") if emb is not None else u
     flagged = side.join(F.broadcast(block_k), "block_key", "left").na.fill(
         {"ka": 1, "kb": 1}
-    )
+    ).where(F.col("block_id").isNotNull())
     ci = F.xxhash64(F.lower(F.col("key"))) if case_insensitive else F.xxhash64(F.col("key"))
     own_salt = F.pmod(F.xxhash64(F.col("key")), F.col(own)).cast("int")
     return (
-        flagged.withColumn("block_id", F.xxhash64(F.col("block_key")))
+        flagged
         .withColumn("id", F.xxhash64(F.col("key")))
         .withColumn("ci", ci)
         .withColumn("_own", own_salt)
@@ -278,6 +296,13 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     skew AND peak memory) for any blocking-key skew — lang='en' at web
     scale becomes thousands of uniform tiles.
 
+    Also assigns each block a DENSE int32 ``block_id`` (row_number by
+    block_key over the full-outer union of both sides' blocks) — the
+    collision-free 4-byte block identity the melt IR carries per pair.
+    The plan is broadcast-sized by contract (it is broadcast onto the
+    sides), so the single-partition ranking window is bounded by the
+    same assumption.
+
     ``target_cells`` (usually ~2-3x the cluster's core count) additionally
     SHRINKS the effective budget when the data is small relative to the
     cluster: a 1M-pair default budget is right at 10^12 pairs (amortizes
@@ -286,7 +311,10 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     overhead-dominated confetti."""
     ca = uA.groupBy("block_key").agg(F.count("*").alias("n_a"))
     cb = uB.groupBy("block_key").agg(F.count("*").alias("n_b"))
-    stats = ca.join(cb, "block_key")
+    # FULL outer: one-sided blocks pair with nothing but still need a
+    # distinct block_id (they flow through the cogroup as empty-other
+    # groups; a shared fallback id would cross-pair them)
+    stats = ca.join(cb, "block_key", "full").na.fill({"n_a": 0, "n_b": 0})
     if target_cells:
         row = stats.agg(
             F.sum(F.col("n_a").cast("long") * F.col("n_b")).alias("t")).first()
@@ -305,8 +333,12 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
         F.greatest(F.col("n_a"), F.lit(1)),
     )
     kb = F.greatest(F.ceil(cells / ka), F.lit(1))
+    from pyspark.sql import Window
+
+    bid = F.row_number().over(Window.orderBy("block_key")).cast("int")
     return stats.select(
-        "block_key", ka.cast("int").alias("ka"), kb.cast("int").alias("kb")
+        "block_key", ka.cast("int").alias("ka"), kb.cast("int").alias("kb"),
+        bid.alias("block_id"),
     )
 
 
@@ -324,9 +356,12 @@ def _cogrouped_tiles(
     attachment, pinned repartition, and the cogroup handle ready for any
     per-tile kernel (melt / filtered melt / histogram). Pass a
     pre-computed (persisted) ``salt_plan`` to share one tiling across
-    multiple passes over the same sides (the two-pass pipeline does —
-    fewer planning jobs, and both GEMM passes are guaranteed identical
-    tile boundaries)."""
+    multiple passes over the same sides (the production pipelines all do —
+    fewer planning jobs, guaranteed-identical tile boundaries across
+    passes, and the CALLER owns the persist/unpersist lifecycle). Without
+    one, the plan is built inline UNPERSISTED (recomputed by each of its
+    ~4 consumers — fine for one-shot/test use, and nothing is left cached
+    behind the caller's back)."""
     if emb is None and encoder is None:
         raise ValueError("need an encoder or an embedding table")
 
@@ -339,7 +374,7 @@ def _cogrouped_tiles(
     sc = uA.sparkSession.sparkContext
     block_k = salt_plan if salt_plan is not None else block_salt_plan(
         uA, uB, pair_budget, max_salt,
-        target_cells=sc.defaultParallelism * 3).persist()
+        target_cells=sc.defaultParallelism * 3)
     row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
     total_cells = int(row["c"] or 1)
     # 4 partition slots per tile: tiles are seconds of kernel compute, so
@@ -355,12 +390,9 @@ def _cogrouped_tiles(
                      other="ka", case_insensitive=case_insensitive)
     b = b.withColumnRenamed("_own", "sb").withColumnRenamed("_other", "sa")
     b = b.repartition(n_part, "block_id", "sa", "sb")
-    cg = a.groupby("block_id", "sa", "sb").cogroup(
+    return a.groupby("block_id", "sa", "sb").cogroup(
         b.groupby("block_id", "sa", "sb")
     )
-    # hand the internally-persisted plan back for caller-side release
-    # (None when the caller supplied its own salt_plan and owns it)
-    return cg, (block_k if salt_plan is None else None)
 
 
 def cogrouped_pair_histogram(
@@ -383,16 +415,13 @@ def cogrouped_pair_histogram(
     calibrate. Multi-block duplicate pairs are counted once per block
     (a <=0.01%-mass bias on realistic blocking; the calibrator fits
     distribution shape, not exact counts)."""
-    cg, own_plan = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
-                                    max_salt, case_insensitive,
-                                    salt_plan=salt_plan)
+    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
+                          max_salt, case_insensitive, salt_plan=salt_plan)
     per_tile = cg.applyInPandas(
         _hist_kernel_factory(encoder, bins, lo, hi),
         schema="bx int, by int, n long",
     )
-    out = per_tile.groupBy("bx", "by").agg(F.sum("n").alias("n"))
-    out._salt_plan = own_plan  # caller may unpersist after consuming
-    return out
+    return per_tile.groupBy("bx", "by").agg(F.sum("n").alias("n"))
 
 
 def cogrouped_pair_features(
@@ -430,27 +459,25 @@ def cogrouped_pair_features(
     """
     if band is not None and accept is None:
         raise ValueError("band emission requires accept=(posterior_fn, cutoff)")
-    cg, own_plan = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
-                                    max_salt, case_insensitive,
-                                    salt_plan=salt_plan)
+    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
+                          max_salt, case_insensitive, salt_plan=salt_plan)
     schema = (PAIR_IR_SCHEMA if accept is None
               else (ACCEPT_IR_SCHEMA if band is None else BAND_IR_SCHEMA))
-    out = cg.applyInPandas(_gemm_melt_factory(encoder, accept, band),
-                           schema=schema)
-    out._salt_plan = own_plan  # caller may unpersist after consuming
-    return out
+    return cg.applyInPandas(_gemm_melt_factory(encoder, accept, band),
+                            schema=schema)
 
 
-def pair_dictionaries(uA: DataFrame, uB: DataFrame) -> tuple[DataFrame, DataFrame]:
+def pair_dictionaries(uA: DataFrame, uB: DataFrame,
+                      salt_plan: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(key_dict, block_dict): the id -> string dictionaries for the pair
     IR, built from the distinct sides (O(distinct keys), tiny relative to
-    the O(n^2) pair table)."""
+    the O(n^2) pair table). ``salt_plan`` (from ``block_salt_plan`` over
+    the same sides) is the authority for the dense block_id -> block_key
+    mapping — the ids are ranks assigned there, not hashes, so the
+    dictionary must come from the same plan the melt ran under."""
     keys = uA.select("key").unionByName(uB.select("key")).distinct()
     key_dict = keys.select(F.xxhash64("key").alias("id"), "key")
-    blocks = uA.select("block_key").unionByName(uB.select("block_key")).distinct()
-    block_dict = blocks.select(
-        F.xxhash64("block_key").alias("block_id"), "block_key"
-    )
+    block_dict = salt_plan.select("block_id", "block_key")
     return key_dict, block_dict
 
 

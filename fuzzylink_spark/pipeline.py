@@ -88,12 +88,40 @@ def build_scored_pairs(
     strings. With ``attach_strings`` (default) the key/block dictionaries
     are joined back at the end, yielding the public
     ``(A, B, block_key, sim, jw, exact, match, ...)`` schema; pass False
-    for the pure IR (production path: strings rejoin only at assemble)."""
+    for the pure IR (production path: strings rejoin only at assemble).
+
+    The returned DataFrame's ``_link_intermediates`` lists the persisted
+    upstream DataFrames (sides, blocks, salt plan) — release them once a
+    downstream result is materialized (``fuzzylink`` does). On ANY raise
+    the persists made so far are released here, so failed calls never
+    leak executor storage."""
+    persisted: list[DataFrame] = []
+    try:
+        return _scored_pairs_impl(spark, dfA, dfB, config, ckpt, labeler,
+                                  attach_strings, persisted)
+    except BaseException:
+        for df in persisted:
+            df.unpersist()
+        raise
+
+
+def _scored_pairs_impl(
+    spark: SparkSession,
+    dfA: DataFrame,
+    dfB: DataFrame,
+    config: LinkConfig,
+    ckpt: CheckpointManager | None,
+    labeler,
+    attach_strings: bool,
+    persisted: list,
+) -> DataFrame:
     by, blocking = config.by, config.blocking_keys
     ckpt = ckpt or CheckpointManager(spark, config.work_dir, config.resume)
+    # "irv2" = pair-IR schema version (dense int32 block_id, float32
+    # sim/jw): stale checkpoints from the wide-IR era must invalidate
     base_fp = fingerprint(config.by, config.blocking_keys, config.embedding_dim,
                           config.encoder_ngrams, config.encoder_seed, config.seed,
-                          config.exact_case_insensitive)
+                          config.exact_case_insensitive, "irv2")
     if config.work_dir:
         # chain the INPUT identity into every stage fingerprint, so the same
         # work_dir + config on different data invalidates instead of
@@ -111,6 +139,7 @@ def build_scored_pairs(
     a_src = drop_incomplete(dfA, by, blocking, name="dfA")
     a = add_block_key(a_src, blocking)
     blocks = distinct_blocks(dfA, blocking).persist()
+    persisted.append(blocks)
     b_src = drop_incomplete(dfB, by, blocking, name="dfB")
     b = semi_join_blocks(b_src, blocks, blocking,
                          broadcast_threshold=config.broadcast_threshold_rows,
@@ -123,6 +152,7 @@ def build_scored_pairs(
     # check, the cogroup itself) — persist so they compute once.
     uA = unique_keys_per_block(a, by).persist()
     uB = unique_keys_per_block(b, by).persist()
+    persisted.extend([uA, uB])
     if config.work_dir:
         keys = uA.select("key").union(uB.select("key")).distinct()
         emb_table = embed_keys(keys, "key", dim=config.embedding_dim,
@@ -137,13 +167,22 @@ def build_scored_pairs(
     import concurrent.futures as _fut
 
     from fuzzylink_spark.functions.vectors import embed_strings
-    from fuzzylink_spark.operators.features import cogrouped_pair_features
+    from fuzzylink_spark.operators.features import block_salt_plan, cogrouped_pair_features
 
     dim, ngrams, eseed = (config.embedding_dim, config.encoder_ngrams,
                           config.encoder_seed)
 
     def encoder(keys_batch: list[str]):
         return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
+
+    # the tile plan is built HERE (not inside cogrouped_pair_features) so
+    # this function owns its persist lifecycle explicitly — released with
+    # the other side caches via _link_intermediates. It is also the
+    # authority for the dense block ids the melt emits.
+    salt_plan = block_salt_plan(
+        uA, uB, config.salt_pair_threshold,
+        target_cells=spark.sparkContext.defaultParallelism * 3).persist()
+    persisted.append(salt_plan)
 
     # P4 pairwise distinct (R/fuzzylink.R:189-190): a (A,B) pair can repeat
     # only when some key occurs under >1 block key — find those keys
@@ -160,14 +199,15 @@ def build_scored_pairs(
     )
     # no broadcast HINT on multi_keys: its size is unknown (could be
     # O(distinct keys) under multi-valued blocking) — AQE broadcasts it
-    # when the runtime stats say it fits and shuffle-joins otherwise
-    mka = uA.join(multi_keys, "key", "left_semi").select(
-        F.xxhash64("block_key").alias("block_id"),
-        F.xxhash64("key").alias("a_id"),
+    # when the runtime stats say it fits and shuffle-joins otherwise.
+    # block ids come from the salt plan (the dense-rank authority), same
+    # ids the melt emits.
+    bid_map = F.broadcast(salt_plan.select("block_key", "block_id"))
+    mka = uA.join(multi_keys, "key", "left_semi").join(bid_map, "block_key").select(
+        "block_id", F.xxhash64("key").alias("a_id"),
     )
-    mkb = uB.join(multi_keys, "key", "left_semi").select(
-        F.xxhash64("block_key").alias("block_id"),
-        F.xxhash64("key").alias("b_id"),
+    mkb = uB.join(multi_keys, "key", "left_semi").join(bid_map, "block_key").select(
+        "block_id", F.xxhash64("key").alias("b_id"),
     )
 
     def _dedup_stats() -> tuple[int, int]:
@@ -189,8 +229,8 @@ def build_scored_pairs(
         check = ex.submit(_dedup_stats)
         scored = cogrouped_pair_features(
             uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
-            case_insensitive=config.exact_case_insensitive)
-        salt_plan_cache = getattr(scored, "_salt_plan", None)
+            case_insensitive=config.exact_case_insensitive,
+            salt_plan=salt_plan)
         n_multi, n_removal_est = check.result()
     # the multi-block check fully scanned both sides, so the P1 drop
     # observations are complete — surface the reference's warning now
@@ -248,7 +288,7 @@ def build_scored_pairs(
     if attach_strings or labeler is not None:
         from fuzzylink_spark.operators.features import attach_pair_strings, pair_dictionaries
 
-        key_dict, block_dict = pair_dictionaries(uA, uB)
+        key_dict, block_dict = pair_dictionaries(uA, uB, salt_plan)
         scored = attach_pair_strings(scored, key_dict, block_dict)
     if labeler is not None:
         k = max(config.initial_train_n // max(uA.count(), 1), 1)
@@ -258,9 +298,7 @@ def build_scored_pairs(
         scored = merge_labels(scored, labels)
     # expose the persisted intermediates so long-lived sessions can release
     # them once a downstream result is materialized (fuzzylink() does)
-    scored._link_intermediates = [
-        df for df in (uA, uB, blocks, salt_plan_cache) if df is not None
-    ]
+    scored._link_intermediates = list(persisted)
     return scored
 
 
@@ -434,16 +472,6 @@ def fuzzylink_twopass(
     is re-scored under the refit model for a new expected-F1 cutoff, and
     a final in-kernel pass emits the accepted set under the refit
     calibrator (labeled pairs then override per P9: Yes in, No out)."""
-    import numpy as np
-
-    from fuzzylink_spark.operators.cutoff import expected_f1_cutoff_from_hist
-    from fuzzylink_spark.operators.features import (
-        attach_pair_strings,
-        cogrouped_pair_features,
-        cogrouped_pair_histogram,
-        pair_dictionaries,
-    )
-    from fuzzylink_spark.operators.scoring import fit_mixture2d_em
     from fuzzylink_spark.sources.tables import validate_columns
 
     config = replace(config or LinkConfig(), by=by,
@@ -471,6 +499,8 @@ def fuzzylink_twopass(
     uA = unique_keys_per_block(a, by).persist()
     uB = unique_keys_per_block(b, by).persist()
     if blocking and uB.limit(1).count() == 0:
+        for df in (uA, uB, blocks):
+            df.unpersist()
         raise ValueError(
             "blocking removed every dfB row: no overlap between dfA and dfB "
             f"on blocking keys {blocking}"
@@ -491,6 +521,34 @@ def fuzzylink_twopass(
     salt_plan = block_salt_plan(
         uA, uB, config.salt_pair_threshold,
         target_cells=spark.sparkContext.defaultParallelism * 3).persist()
+
+    # everything below runs under the four persists (uA/uB/blocks/
+    # salt_plan); any raise — the no-candidates ValueError, a labeler
+    # failure mid-AL-loop — must release them or repeated failed calls in
+    # a long-lived session leak executor storage (same contract as
+    # fuzzylink()'s except-cleanup-raise block)
+    try:
+        return _twopass_body(
+            spark, dfA, dfB, config, bins, labeler, al_band_delta,
+            al_band_cap, uA, uB, blocks, salt_plan, encoder)
+    except BaseException:
+        for df in (uA, uB, blocks, salt_plan):
+            df.unpersist()
+        raise
+
+
+def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
+                  al_band_cap, uA, uB, blocks, salt_plan, encoder):
+    import numpy as np
+
+    from fuzzylink_spark.operators.cutoff import expected_f1_cutoff_from_hist
+    from fuzzylink_spark.operators.features import (
+        attach_pair_strings,
+        cogrouped_pair_features,
+        cogrouped_pair_histogram,
+        pair_dictionaries,
+    )
+    from fuzzylink_spark.operators.scoring import fit_mixture2d_em
 
     # pass 1: bounded histogram -> driver-side EM + cutoff
     lo, hi = -1.0, 1.0
@@ -528,7 +586,7 @@ def fuzzylink_twopass(
         p_cells, hist[:, 2], fallback=config.fallback_cutoff,
         yes_mass=n_exact, strict_parity=config.cutoff_strict_parity)
 
-    key_dict, block_dict = pair_dictionaries(uA, uB)
+    key_dict, block_dict = pair_dictionaries(uA, uB, salt_plan)
     model_out = model
     scored_band = None
     if labeler is not None:

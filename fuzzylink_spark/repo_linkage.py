@@ -93,6 +93,10 @@ def link_repo_files(
         cutoff = expected_f1_cutoff(nontrivial, bins=config.cutoff_bins,
                                     fallback=config.fallback_cutoff,
                                     strict_parity=config.cutoff_strict_parity)
+        # the cutoff search materialized `scored` into cache — the
+        # upstream side/plan persists are dead weight from here on
+        for df in getattr(pairs, "_link_intermediates", []):
+            df.unpersist()
         accepted = accepted_matches(scored, cutoff)
 
     # key pairs -> file-id edges: two joins against the (key -> id) map

@@ -163,28 +163,35 @@ def make_link_batch_fn(
             config.blocking_keys,
         )
         uB = unique_keys_per_block(b, config.by)
-        pairs = cogrouped_pair_features(
-            uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
-            case_insensitive=config.exact_case_insensitive,
+        from fuzzylink_spark.operators.features import (
+            attach_pair_strings,
+            block_salt_plan,
+            pair_dictionaries,
         )
-        scored = with_match_probability(
-            pairs.withColumn("score", (F.col("sim") + F.col("jw")) / 2.0), model
-        )
-        # filter on the numeric IR FIRST, then join strings back onto the
-        # (small) accepted set only
-        matches = accepted_matches(scored, cutoff, label_col="__none__")
-        from fuzzylink_spark.operators.features import attach_pair_strings, pair_dictionaries
 
-        key_dict, block_dict = pair_dictionaries(uA, uB)
+        # per-batch tile plan, owned HERE: persisted for the batch's two
+        # consumers (melt + block dictionary), released in finally so a
+        # long-running stream never accumulates cached plans
+        sc = uA.sparkSession.sparkContext
+        plan = block_salt_plan(
+            uA, uB, config.salt_pair_threshold,
+            target_cells=sc.defaultParallelism * 3).persist()
         try:
+            pairs = cogrouped_pair_features(
+                uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
+                case_insensitive=config.exact_case_insensitive,
+                salt_plan=plan,
+            )
+            scored = with_match_probability(
+                pairs.withColumn("score", (F.col("sim") + F.col("jw")) / 2.0), model
+            )
+            # filter on the numeric IR FIRST, then join strings back onto
+            # the (small) accepted set only
+            matches = accepted_matches(scored, cutoff, label_col="__none__")
+            key_dict, block_dict = pair_dictionaries(uA, uB, plan)
             sink_fn(batch_id, attach_pair_strings(matches, key_dict, block_dict))
         finally:
-            # release this batch's internally-persisted salt plan — a
-            # long-running stream would otherwise accumulate one cached
-            # plan per micro-batch
-            sp = getattr(pairs, "_salt_plan", None)
-            if sp is not None:
-                sp.unpersist()
+            plan.unpersist()
 
     return process_batch
 
