@@ -21,6 +21,7 @@ knob). Shuffles: one per groupBy + the bucket self-join.
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
@@ -30,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fuzzylink_spark.functions.text import char_ngrams_col
+
+log = logging.getLogger(__name__)
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text",
@@ -276,19 +279,25 @@ def winnowing_udf(k: int = 8, w: int = 16, hashed: bool = True):
     same higher-order-array allocation wall as MinHash shingling; this is
     the sanctioned Arrow slow path."""
     base = np.uint64(1_000_003)
-    pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # wraps mod 2^64
 
     def _fps_hashed(t: str) -> list[int]:
         bts = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
         if len(bts) < k:
-            h = np.uint64(0)
+            # Python ints masked to 64 bits: identical wrap semantics to
+            # the vectorized uint64 path, without numpy's per-doc
+            # "overflow encountered in scalar multiply" RuntimeWarning
+            # (noise in executor logs; a raise under warnings-as-errors)
+            h = 0
             for b in bts:
-                h = h * base + np.uint64(b)
-            return [int(h.astype(np.int64))]
+                h = (h * 1_000_003 + int(b)) & 0xFFFFFFFFFFFFFFFF
+            return [h - (1 << 64) if h >= (1 << 63) else h]
         from numpy.lib.stride_tricks import sliding_window_view
 
-        grams = (sliding_window_view(bts, k).astype(np.uint64)
-                 * pows[None, :]).sum(axis=1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            grams = (sliding_window_view(bts, k).astype(np.uint64)
+                     * pows[None, :]).sum(axis=1, dtype=np.uint64)
         if len(grams) <= w:
             mins = grams.min(keepdims=True)
         else:
@@ -354,23 +363,70 @@ def winnowing_fingerprints(
     )
 
 
+def _bound_fp_buckets(fp: DataFrame, max_bucket: int | None,
+                      on_oversized: str, what: str) -> DataFrame:
+    """Shared fingerprint-bucket bound: drop fingerprints whose bucket
+    exceeds ``max_bucket`` — but NEVER silently. ``on_oversized``:
+
+    - ``'warn'`` (default): count oversized buckets (one extra aggregate
+      job over the fingerprint table) and log how many fingerprints were
+      dropped + the largest bucket, so boilerplate-concentrated recall
+      loss is visible;
+    - ``'error'``: raise instead of dropping — for pipelines where the
+      completeness guarantee is the point;
+    - ``'ignore'``: old behavior, no counting job (scale path where the
+      caller has already characterized the corpus).
+
+    ``max_bucket=None`` disables bounding entirely (full guarantee; the
+    self-join is then quadratic in the largest bucket)."""
+    if max_bucket is None:
+        return fp
+    sizes = fp.groupBy("fp").agg(F.count("*").alias("_n"))
+    if on_oversized in ("warn", "error"):
+        row = sizes.agg(
+            F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0))
+            .cast("long").alias("n_over"),
+            F.max("_n").alias("largest"),
+        ).first()
+        n_over = int(row["n_over"] or 0)
+        if n_over > 0:
+            msg = (
+                f"{what}: {n_over} fingerprint bucket(s) exceed "
+                f"max_bucket={max_bucket} (largest={row['largest']}) and "
+                "were dropped — document pairs sharing ONLY text "
+                "concentrated in those buckets (licenses, boilerplate) "
+                "will be missed. Raise max_bucket, pass max_bucket=None "
+                "for the unconditional guarantee, or on_oversized="
+                "'ignore' to silence."
+            )
+            if on_oversized == "error":
+                raise ValueError(msg)
+            log.warning(msg)
+    elif on_oversized != "ignore":
+        raise ValueError(f"on_oversized must be warn|error|ignore, got {on_oversized!r}")
+    return fp.join(sizes.where(F.col("_n") <= max_bucket), "fp").drop("_n")
+
+
 def winnowing_candidate_pairs(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
+    on_oversized: str = "warn",
 ) -> DataFrame:
     """Exact-substring near-dup candidates DataFrame[a, b] (a < b): docs
     sharing a winnowing fingerprint — a superset of all pairs sharing an
-    exact (k+w-1)-char substring. Equi self-join on the fingerprint with
-    the same ``max_bucket`` boilerplate bound as the LSH joins; verify
-    survivors with ``ngram_jaccard_pairs(shingle=k)`` or a direct content
-    compare."""
+    exact (k+w-1)-char substring, COMPLETE up to ``max_bucket``:
+    fingerprints shared by more than ``max_bucket`` docs are dropped
+    (with a logged count — see ``_bound_fp_buckets``; widely-shared
+    boilerplate concentrates in exactly those buckets). Pass
+    ``max_bucket=None`` for the unconditional guarantee. Equi self-join
+    on the fingerprint; verify survivors with
+    ``ngram_jaccard_pairs(shingle=k)`` or a direct content compare."""
     fp = winnowing_fingerprints(df, content_col, id_col, k=k, w=w)
-    sizes = fp.groupBy("fp").agg(F.count("*").alias("_n"))
-    bounded = fp.join(sizes.where(F.col("_n") <= max_bucket), "fp")
+    bounded = _bound_fp_buckets(fp, max_bucket, on_oversized, "winnowing")
     left = bounded.select("fp", F.col(id_col).alias("a"))
     right = bounded.select("fp", F.col(id_col).alias("b"))
     return (
@@ -381,6 +437,122 @@ def winnowing_candidate_pairs(
     )
 
 
+def winnowing_pos_udf(k: int = 8, w: int = 16, max_pos_per_fp: int = 32):
+    """Series→Series pandas UDF: text -> array<struct<fp long, pos int>>
+    of winnowing fingerprints WITH their character positions (the argmin
+    gram offset of each window). The anchor-extend verify kernel needs
+    positions, so this variant hashes CHARACTER k-grams (one uint32
+    codepoint per char via utf-32) rather than the byte k-grams of
+    ``winnowing_udf`` — positions then index the Python string directly
+    and the k+w-1 guarantee is in characters for any script.
+
+    Windows with identical contents pick the same argmin offset in every
+    document (numpy argmin = leftmost minimum), so two docs sharing a
+    >= k+w-1-char substring share at least one (fp, pos) anchor at
+    ALIGNED positions inside it — the anchor-extend recall precondition.
+
+    ``max_pos_per_fp`` caps how many positions one fingerprint VALUE may
+    emit per document (self-repetitive text like "ababab..." selects the
+    same gram at many offsets; the cap bounds the candidate-join fanout).
+    Recall weakens only for substrings whose every selected gram repeats
+    more than the cap times within one document."""
+    base = np.uint64(1_000_003)
+    with np.errstate(over="ignore"):
+        pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    ret = T.ArrayType(T.StructType([
+        T.StructField("fp", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+    ]))
+
+    @F.pandas_udf(ret)
+    def _win(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        for t in texts:
+            t = (t or "").lower()
+            cps = np.frombuffer(t.encode("utf-32-le", "surrogatepass"),
+                                dtype=np.uint32)
+            n = len(cps) - k + 1
+            if n <= 0:
+                h = 0
+                for c in cps:
+                    h = (h * 1_000_003 + int(c)) & 0xFFFFFFFFFFFFFFFF
+                out.append([{"fp": h - (1 << 64) if h >= (1 << 63) else h,
+                             "pos": 0}])
+                continue
+            with np.errstate(over="ignore"):
+                grams = (sliding_window_view(cps, k).astype(np.uint64)
+                         * pows[None, :]).sum(axis=1, dtype=np.uint64)
+            if n <= w:
+                pos = np.array([int(grams.argmin())], dtype=np.int64)
+            else:
+                sw = sliding_window_view(grams, w)
+                pos = sw.argmin(axis=1) + np.arange(n - w + 1)
+            pos = np.unique(pos)
+            vals = grams[pos].astype(np.int64)
+            seen: dict[int, int] = {}
+            fps = []
+            for v, p in zip(vals, pos):
+                v = int(v)
+                c = seen.get(v, 0)
+                if c < max_pos_per_fp:
+                    seen[v] = c + 1
+                    fps.append({"fp": v, "pos": int(p)})
+            out.append(fps)
+        return pd.Series(out)
+
+    return _win
+
+
+def anchor_extend_udf(k: int):
+    """(text_a, text_b, anchors array<struct<pa,pb>>) -> longest common
+    substring length THROUGH any aligned anchor, by greedy left/right
+    extension on the lowercased texts.
+
+    O(anchors + extended chars) per pair — never O(La*Lb): anchors on the
+    same diagonal (pb - pa) are skipped once a previous extension already
+    covered them, and each anchor is collision-checked (k-gram equality)
+    before extending. Equal to the TRUE longest-common-substring length
+    whenever that length >= k+w-1 (the winnowing guarantee places an
+    aligned anchor inside every such substring)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _ext(a: pd.Series, b: pd.Series, anchors: pd.Series) -> pd.Series:
+        out = np.zeros(len(a), dtype=np.int32)
+        for i, (ta, tb, anc) in enumerate(zip(a, b, anchors)):
+            ta = (ta or "").lower()
+            tb = (tb or "").lower()
+            la, lb = len(ta), len(tb)
+            best = 0
+            diag_end: dict[int, int] = {}
+            items = sorted(
+                ((int(x["pa"]), int(x["pb"])) for x in anc),
+                key=lambda t: (t[1] - t[0], t[0]),
+            )
+            for pa, pb in items:
+                d = pb - pa
+                if pa < diag_end.get(d, 0):
+                    continue  # inside a previous extension on this diagonal
+                if ta[pa:pa + k] != tb[pb:pb + k]:
+                    continue  # 64-bit gram-hash collision
+                i0, j0 = pa - 1, pb - 1
+                while i0 >= 0 and j0 >= 0 and ta[i0] == tb[j0]:
+                    i0 -= 1
+                    j0 -= 1
+                i1, j1 = pa + k, pb + k
+                while i1 < la and j1 < lb and ta[i1] == tb[j1]:
+                    i1 += 1
+                    j1 += 1
+                diag_end[d] = i1
+                if i1 - i0 - 1 > best:
+                    best = i1 - i0 - 1
+            out[i] = best
+        return pd.Series(out)
+
+    return _ext
+
+
 def exact_substring_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -388,42 +560,80 @@ def exact_substring_pairs(
     min_len: int = 23,
     k: int = 8,
     w: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
+    on_oversized: str = "warn",
+    verify: str = "anchor",
 ) -> DataFrame:
     """GUARANTEED exact-substring near-dup pairs DataFrame[a, b,
     common_len]: every document pair sharing an exact substring of length
-    >= ``min_len`` appears (winnowing recall is complete above the
-    k+w-1 threshold), and every emitted pair is VERIFIED by the true
-    longest-common-substring length — the training-data contamination /
-    license-text / boilerplate detector with no probabilistic slack.
+    >= ``min_len`` appears (winnowing recall is complete above the k+w-1
+    threshold — COMPLETE up to ``max_bucket``: oversized fingerprint
+    buckets are dropped with a logged count, or pass ``max_bucket=None``
+    /``on_oversized='error'`` for the unconditional guarantee), and every
+    emitted pair is VERIFIED with the true longest-common-substring
+    length — the training-data contamination / license-text / boilerplate
+    detector with no probabilistic slack.
 
     Requires ``min_len >= k + w - 1`` (below that the fingerprint recall
-    guarantee doesn't hold — lower k/w instead). Cost: candidates are an
-    equi join on fingerprints (``max_bucket``-bounded); verification is
-    one batch-vectorized O(La*Lb) DP per candidate pair, so keep the
-    candidate set bounded (the whole point of winnowing)."""
+    guarantee doesn't hold — lower k/w instead).
+
+    ``verify='anchor'`` (default, the scale path): fingerprints carry
+    their character positions; candidates are (fp-bucketed) position
+    pairs, and verification greedily extends around each aligned anchor —
+    O(anchors + shared-region chars) per pair, so two 100 KB documents
+    sharing a 1 KB slice verify in microseconds. ``verify='dp'`` runs the
+    batch O(La*Lb) longest-common-substring DP instead (exact for ANY
+    length, bounded-input mode: ~10^10 cell updates per 100 KB pair).
+    Both report the same ``common_len`` for every emitted pair, because
+    anchor-extension equals the true LCS length whenever it is
+    >= k+w-1 <= min_len."""
     if min_len < k + w - 1:
         raise ValueError(
             f"min_len={min_len} is below the winnowing recall guarantee "
             f"threshold k+w-1={k + w - 1}: pairs sharing only a shorter "
             "substring can miss every fingerprint window — lower k or w"
         )
-    from fuzzylink_spark.functions.strdist import common_substring_udf
-
-    cand = winnowing_candidate_pairs(df, content_col, id_col, k=k, w=w,
-                                     max_bucket=max_bucket)
+    sc = df.sparkSession.sparkContext
+    n_part = max(sc.defaultParallelism * 2, 8)
     texts = df.select(F.col(id_col), F.col(content_col))
-    a = texts.select(F.col(id_col).alias("a"), F.col(content_col).alias("_ta"))
-    b = texts.select(F.col(id_col).alias("b"), F.col(content_col).alias("_tb"))
-    joined = cand.join(a, "a").join(b, "b")
-    # the verify stage is compute-dense (O(La*Lb) DP per pair) but tiny in
-    # BYTES — AQE's byte-based coalescing would collapse it to one task
-    # (the same wall the GEMM tiles hit); pin the fan-out explicitly
-    n_part = max(joined.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    joined = joined.repartition(n_part)
+    a_txt = texts.select(F.col(id_col).alias("a"), F.col(content_col).alias("_ta"))
+    b_txt = texts.select(F.col(id_col).alias("b"), F.col(content_col).alias("_tb"))
+    if verify == "dp":
+        from fuzzylink_spark.functions.strdist import common_substring_udf
+
+        cand = winnowing_candidate_pairs(df, content_col, id_col, k=k, w=w,
+                                         max_bucket=max_bucket,
+                                         on_oversized=on_oversized)
+        # the verify stage is compute-dense but tiny in BYTES — AQE's
+        # byte-based coalescing would collapse it to one task (the same
+        # wall the GEMM tiles hit); pin the fan-out explicitly
+        joined = cand.join(a_txt, "a").join(b_txt, "b").repartition(n_part)
+        verified = joined.withColumn(
+            "common_len", common_substring_udf(F.col("_ta"), F.col("_tb")))
+    elif verify == "anchor":
+        fpp = df.select(
+            F.col(id_col),
+            F.explode(winnowing_pos_udf(k=k, w=w)(F.col(content_col))).alias("s"),
+        ).select(F.col(id_col), F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos"))
+        bounded = _bound_fp_buckets(fpp, max_bucket, on_oversized,
+                                    "exact_substring_pairs")
+        left = bounded.select("fp", F.col(id_col).alias("a"), F.col("pos").alias("pa"))
+        right = bounded.select("fp", F.col(id_col).alias("b"), F.col("pos").alias("pb"))
+        anchors = (
+            left.join(right, "fp")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.collect_list(F.struct("pa", "pb")).alias("_anchors"))
+        )
+        joined = anchors.join(a_txt, "a").join(b_txt, "b").repartition(n_part)
+        verified = joined.withColumn(
+            "common_len",
+            anchor_extend_udf(k)(F.col("_ta"), F.col("_tb"), F.col("_anchors")),
+        )
+    else:
+        raise ValueError(f"verify must be 'anchor' or 'dp', got {verify!r}")
     return (
-        joined
-        .withColumn("common_len", common_substring_udf(F.col("_ta"), F.col("_tb")))
+        verified
         .where(F.col("common_len") >= min_len)
         .select("a", "b", F.col("common_len").cast("long").alias("common_len"))
     )

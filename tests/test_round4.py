@@ -1,0 +1,153 @@
+"""Round-4 regression tests: anchor-extend exact-substring verify,
+winnowing bucket-drop signalling, narrow pair IR, streaming edge guard."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_anchor_vs_dp_parity(spark):
+    """Both verify kernels must emit the same pairs with the same
+    common_len whenever the shared substring clears min_len (anchor
+    extension equals the true LCS above the k+w-1 guarantee)."""
+    import random
+
+    from fuzzylink_spark.operators.dedup import exact_substring_pairs
+
+    rng = random.Random(11)
+    alphabet = "abcdefghij mnopqrstuv"
+    shared = ["".join(rng.choice(alphabet) for _ in range(ln))
+              for ln in (30, 45, 80)]
+    rows = []
+    did = 0
+    for s in shared:
+        for _ in range(2):
+            pre = "".join(rng.choice(alphabet) for _ in range(rng.randrange(5, 60)))
+            suf = "".join(rng.choice(alphabet) for _ in range(rng.randrange(5, 60)))
+            rows.append((did, pre + s + suf))
+            did += 1
+    # decoys with no long shared run
+    for _ in range(6):
+        rows.append((did, "".join(rng.choice(alphabet) for _ in range(90))))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_len=25, k=8, w=16)
+    anchor = {(r["a"], r["b"]): r["common_len"]
+              for r in exact_substring_pairs(docs, verify="anchor", **kw).collect()}
+    dp = {(r["a"], r["b"]): r["common_len"]
+          for r in exact_substring_pairs(docs, verify="dp", **kw).collect()}
+    assert anchor == dp
+    assert len(anchor) >= 3  # every planted pair found
+
+
+def test_anchor_extend_scales_to_long_docs(spark):
+    """Two ~100 KB documents sharing a planted 1 KB slice: the anchor
+    path must verify in seconds (the DP kernel would need ~10^10 cell
+    updates per pair)."""
+    import random
+    import time
+
+    from fuzzylink_spark.operators.dedup import exact_substring_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    blob = lambda n: "".join(rng.choice(alphabet) for _ in range(n))  # noqa: E731
+    slice_1k = blob(1000)
+    rows = [
+        (1, blob(50_000) + slice_1k + blob(50_000)),
+        (2, blob(60_000) + slice_1k + blob(40_000)),
+        (3, blob(100_000)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    t0 = time.monotonic()
+    out = {(r["a"], r["b"]): r["common_len"]
+           for r in exact_substring_pairs(docs, min_len=200, k=10, w=16).collect()}
+    wall = time.monotonic() - t0
+    assert (1, 2) in out and out[(1, 2)] >= 1000
+    assert all(p == (1, 2) for p in out)
+    assert wall < 60, f"anchor verify took {wall:.1f}s on 100 KB docs"
+
+
+def test_winnowing_oversized_bucket_signal(spark, caplog):
+    """Fingerprints concentrated past max_bucket must WARN (not vanish
+    silently), raise under on_oversized='error', and survive intact with
+    max_bucket=None."""
+    from fuzzylink_spark.operators.dedup import winnowing_candidate_pairs
+
+    boiler = "this exact license boilerplate paragraph is shared verbatim"
+    rows = [(i, f"doc number {i} distinct filler {boiler}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="fuzzylink_spark.operators.dedup"):
+        bounded = winnowing_candidate_pairs(docs, k=8, w=16, max_bucket=3)
+        n_bounded = bounded.count()
+    assert any("max_bucket=3" in r.message and "dropped" in r.message
+               for r in caplog.records)
+
+    with pytest.raises(ValueError, match="max_bucket=3"):
+        winnowing_candidate_pairs(docs, k=8, w=16, max_bucket=3,
+                                  on_oversized="error").count()
+
+    full = winnowing_candidate_pairs(docs, k=8, w=16, max_bucket=None)
+    assert full.count() == 8 * 7 // 2  # all pairs share the boilerplate
+    assert n_bounded < full.count()
+
+
+def test_short_doc_hash_no_overflow_warning(spark):
+    """The sub-k-length hashed fingerprint path must not emit numpy
+    overflow RuntimeWarnings (wraps via masked Python ints)."""
+    import warnings
+
+    from fuzzylink_spark.operators.dedup import winnowing_udf
+
+    udf_fn = winnowing_udf(k=8, w=16, hashed=True)
+    # call the kernel logic directly through a local Spark run with
+    # warnings-as-errors on the driver-side reference implementation
+    import pandas as pd
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        docs = spark.createDataFrame(
+            [(1, "short"), (2, "ab"), (3, "")], "doc_id long, text string")
+        out = docs.select("doc_id", udf_fn(F.col("text")).alias("fps")).collect()
+    assert all(len(r["fps"]) == 1 for r in out)
+
+
+def test_pair_ir_is_narrow(spark):
+    """The melt IR must stay 29 B/pair: int32 block_id, int64 ids,
+    float32 sim/jw — the hot-path bandwidth contract."""
+    from fuzzylink_spark.functions.vectors import embed_strings
+    from fuzzylink_spark.operators.blocking import add_block_key
+    from fuzzylink_spark.operators.candidates import unique_keys_per_block
+    from fuzzylink_spark.operators.features import cogrouped_pair_features
+
+    rows = [(f"name {i}", "en") for i in range(30)]
+    df = add_block_key(
+        spark.createDataFrame(rows, "key string, lang string"), ["lang"])
+    u = unique_keys_per_block(df, "key")
+    out = cogrouped_pair_features(
+        u, u, encoder=lambda ks: embed_strings(ks, dim=16), pair_budget=1000)
+    sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert sch == {"block_id": "int", "a_id": "bigint", "b_id": "bigint",
+                   "sim": "float", "jw": "float", "exact": "boolean"}
+    got = out.where(~F.col("exact")).limit(5).collect()
+    assert got and all(-1.001 <= r["sim"] <= 1.001 for r in got)
+
+
+def test_dense_block_ids_distinct_per_block(spark):
+    """Salt-plan block ids are dense, distinct, and cover one-sided
+    blocks (full-outer stats) — the collision-free grouping contract."""
+    from fuzzylink_spark.operators.features import block_salt_plan
+
+    uA = spark.createDataFrame(
+        [("b1", "x"), ("b2", "y"), ("only_a", "z")], "block_key string, key string")
+    uB = spark.createDataFrame(
+        [("b1", "x"), ("b2", "q"), ("only_b", "r")], "block_key string, key string")
+    plan = block_salt_plan(uA, uB).collect()
+    ids = [r["block_id"] for r in plan]
+    keys = {r["block_key"] for r in plan}
+    assert len(ids) == len(set(ids)) == 4
+    assert keys == {"b1", "b2", "only_a", "only_b"}
+    assert sorted(ids) == [1, 2, 3, 4]
