@@ -735,15 +735,113 @@ def _q_active_learning(spark, sf):
 
 
 def _q_fingerprint(spark, sf):
-    """Document fingerprinting (rolling hash) — hash-specific, rows-only;
-    the DETERMINISM is the assertion (same text -> same fingerprint)."""
+    """Document fingerprinting: min over rolling 8-char windows, in the
+    engine-independent hashed=False variant (min window SUBSTRING) so a
+    DuckDB list_transform/list_aggregate oracle reproduces it verbatim —
+    the same technique that oracled the winnowing fingerprints. The
+    hashed=True xxhash64 variant (8-byte fingerprints, the scale path) is
+    pytest-covered for determinism."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
     from fuzzylink_spark.functions.text import rolling_fingerprint
     docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+    return docs.select(
+        "doc_id", rolling_fingerprint("text", hashed=False).alias("fp"))
+
+
+def _q_minhash_portable(spark, sf):
+    """Engine-portable MinHash signatures (mod-p polynomial gram hash +
+    8 LCG permutations, every intermediate < 2^62): the DuckDB oracle
+    computes the IDENTICAL signature with list_transform + list_reduce +
+    list_aggregate — a hard value oracle for the MinHash family (the
+    production 2^64 rolling-hash variant stays pytest-covered)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.operators.dedup import minhash_portable_udf
+    docs = _t(spark, sf, "documents").where(F.length("text") >= 5)
+    sig = docs.select(
+        "doc_id", minhash_portable_udf(shingle=5)(F.lower("text")).alias("s"))
+    return (
+        sig.select("doc_id", F.posexplode("s"))
+        .withColumnRenamed("pos", "hash_idx")
+        .withColumnRenamed("col", "mh")
+    )
+
+
+def _q_neardup_cc_rep(spark, sf):
+    """The near_dup_dedup verify -> connected-components -> representative
+    chain under a HARD oracle: candidates are engine-independent
+    (consecutive same-lang doc pairs), verification is exact shingle-set
+    Jaccard >= 0.18, clustering is star-contraction CC, and the oracle
+    replays the whole chain in DuckDB (list set algebra + WITH RECURSIVE
+    transitive closure + group-by representative)."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from pyspark.sql import Window
+
+    from fuzzylink_spark.operators.dedup import near_dup_dedup
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cand = (
+        docs.withColumn("b", F.lead("doc_id").over(w))
+        .where(F.col("b").isNotNull())
+        .select(F.col("doc_id").alias("a"), "b")
+    )
+    out = near_dup_dedup(docs, jaccard_threshold=0.18, shingle=5,
+                         candidates=cand)
+    return out.select("doc_id", "dup_cluster",
+                      F.col("n_dupes").cast("long").alias("n_dupes"))
+
+
+def _q_twopass_parity(spark, sf):
+    """Cross-plan invariant for the flagship 10^12-pair plan: the classic
+    (pair-table) and two-pass (histogram-first) pipelines may disagree
+    ONLY by calibrator quantization near their cutoffs. Two hard-checkable
+    aggregates: exact-match pairs are accepted by BOTH plans always
+    (n_exact_symdiff = 0 — they bypass the calibrator), and the total
+    symmetric difference is within 1% of the accepted set (within_bound).
+    The oracle is the literal expected row — any violation hash-fails."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.config import LinkConfig
+    from fuzzylink_spark.operators.cutoff import accepted_matches
+    from fuzzylink_spark.pipeline import fuzzylink, fuzzylink_twopass
+
+    docs = _t(spark, sf, "documents")
+    key = F.substring(F.col("text"), 1, 48).alias("name")
+    side = F.pmod(F.xxhash64("source"), F.lit(2))
+    dfa = docs.where(side == 0).select(key, "lang", "doc_id")
+    dfb = docs.where(side == 1).select(key, "lang", "doc_id")
+    cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128)
+    res_c = fuzzylink(spark, dfa, dfb, by="name", blocking_keys=["lang"],
+                      config=cfg)
+    acc_c = accepted_matches(res_c.pairs, res_c.cutoff).select(
+        "A", "B", "exact").localCheckpoint(eager=True)
+    res_c.release()
+    res_t = fuzzylink_twopass(spark, dfa, dfb, by="name",
+                              blocking_keys=["lang"], config=cfg)
+    acc_t = res_t.pairs.select("A", "B", "exact").localCheckpoint(eager=True)
+    res_t.pairs.unpersist()
+    sym = (
+        acc_c.join(acc_t.select("A", "B"), ["A", "B"], "left_anti")
+        .unionByName(acc_t.join(acc_c.select("A", "B"), ["A", "B"], "left_anti"))
+    )
+    n_sym = sym.count()
+    n_exact_sym = sym.where(F.col("exact")).count()
+    n_max = max(acc_c.count(), acc_t.count(), 1)
+    ok = bool(n_sym <= max(5, 0.01 * n_max))
+    return spark.createDataFrame(
+        [(int(n_exact_sym), ok)],
+        "n_exact_symdiff long, within_bound boolean",
+    )
 
 
 def _q_o2_uniform_sample(spark, sf):
@@ -958,6 +1056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "lang_id": _q_lang_id,
         "connected_components": _q_connected_components,  # WITH RECURSIVE oracle
+        "doc_fingerprint": _q_fingerprint,        # lex-min oracle (round 4)
+        "minhash_portable_sig": _q_minhash_portable,  # mod-p oracle (round 4)
+        "neardup_cc_rep": _q_neardup_cc_rep,      # verify+CC+rep oracle (round 4)
+        "twopass_parity": _q_twopass_parity,      # cross-plan invariant (round 4)
         # rows-only (iterative / hash-function-specific; no ANSI-SQL oracle)
         "lexical_features": _q_lexical_features,
         "o3_weighted_sample": _q_o3_weighted_sample,
@@ -969,7 +1071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em_mixture_posterior": _q_em_mixture,
         "active_learning_accepted": _q_active_learning,
         "twopass_accepted": _q_twopass_accepted,
-        "doc_fingerprint": _q_fingerprint,
         "o2_uniform_sample": _q_o2_uniform_sample,
         "near_dup_dedup": _q_near_dup_dedup,
         "mutual_best_1to1": _q_mutual_best,
@@ -1292,9 +1393,81 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT A, B, round(p, 6) AS p FROM ranked WHERE ra = 1 AND rb = 1
         """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN length(lower(text)) >= 8 THEN
+                     list_aggregate(list_transform(
+                       range(1, length(lower(text)) - 6),
+                       i -> substr(lower(text), CAST(i AS INT), 8)), 'min')
+                   ELSE lower(text) END AS fp
+            FROM documents
+        """,
+        "minhash_portable_sig": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+              WHERE length(text) >= 5
+            ), hs AS (
+              SELECT doc_id, list_transform(
+                range(1, length(t) - 3),
+                i -> list_reduce(
+                       list_transform(range(0, 5),
+                         j -> CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 2147483647)) AS ghs
+              FROM g
+            )
+            SELECT doc_id, c.i AS hash_idx,
+                   list_aggregate(list_transform(
+                     ghs, h -> (c.a * h + c.b) % 2147483647), 'min') AS mh
+            FROM hs CROSS JOIN (VALUES
+              (0, 1664525, 1013904223), (1, 22695477, 1), (2, 69069, 362437),
+              (3, 1103515245, 12345), (4, 134775813, 1), (5, 214013, 2531011),
+              (6, 16807, 0), (7, 48271, 11)) AS c(i, a, b)
+        """,
+        "neardup_cc_rep": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                       i -> substr(lower(text), CAST(i AS INT), 5))) AS g
+              FROM documents
+            ), cand AS (
+              SELECT * FROM (
+                SELECT doc_id AS a, g,
+                       lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS b,
+                       lead(g) OVER (PARTITION BY lang ORDER BY doc_id) AS gb
+                FROM sh) WHERE b IS NOT NULL
+            ), ver AS (
+              SELECT a, b FROM cand
+              WHERE CAST(len(list_intersect(g, gb)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(g, gb))), 1) >= 0.18
+            ), sym AS (
+              SELECT a AS src, b AS dst FROM ver
+              UNION
+              SELECT b AS src, a AS dst FROM ver
+            ), reach(id, r) AS (
+              SELECT src AS id, src AS r FROM sym
+              UNION
+              SELECT reach.id, sym.dst AS r
+              FROM reach JOIN sym ON sym.src = reach.r
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ), asg AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS dup_cluster
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            )
+            SELECT min(doc_id) AS doc_id, dup_cluster,
+                   count(*) AS n_dupes
+            FROM asg GROUP BY dup_cluster
+        """,
+        "twopass_parity": """
+            SELECT CAST(0 AS BIGINT) AS n_exact_symdiff,
+                   CAST(1 AS BOOLEAN) AS within_bound
+        """,
         # soundex_neq / lexical_features: DuckDB lacks soundex/OSA/LCS/q-gram
         # o2/o3 samples: seeded-rand sampling, engine-specific
-        # minhash/simhash/near_dup_dedup/connected_components/em_mixture/
-        # doc_fingerprint/twopass/active_learning: rows-only (iterative or
-        # hash-function-specific)
+        # minhash_lsh/simhash/near_dup_dedup/em_mixture/twopass_accepted/
+        # active_learning: rows-only (iterative or 2^64-hash-specific);
+        # their oracle-able counterparts are minhash_portable_sig,
+        # neardup_cc_rep, twopass_parity, connected_components above
     }

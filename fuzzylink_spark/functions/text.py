@@ -74,10 +74,13 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def char_ngrams_col(col: Column | str, n: int = 3) -> Column:
-    """Array of character n-grams (for shingling / Jaccard / MinHash)."""
+    """Array of character n-grams (for shingling / Jaccard / MinHash).
+    Documents shorter than ``n`` yield one whole-text shingle (floor the
+    window count at 1: ``F.sequence(1, 0)`` would yield the DESCENDING
+    [1, 0], never an empty array)."""
     c = F.col(col) if isinstance(col, str) else col
     lowered = F.lower(c)
-    count = F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(0))
+    count = F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.substring(lowered, i, n),
@@ -202,17 +205,30 @@ def content_sha256(col: Column | str) -> Column:
     return F.sha2(c, 256)
 
 
-def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
-    """Deterministic document fingerprint: min xxhash64 over rolling
-    character windows (a winnowing-style min-sample of local hashes).
-    Pure Catalyst: substring windows -> xxhash64 -> array_min."""
+def rolling_fingerprint(col: Column | str, window: int = 8,
+                        hashed: bool = True) -> Column:
+    """Deterministic document fingerprint: minimum over rolling character
+    windows (a winnowing-style min-sample of local values). Pure
+    Catalyst: substring windows -> (xxhash64 ->) array_min.
+
+    ``hashed`` (default): min xxhash64 of the windows — an 8-byte
+    fingerprint, the scale path. ``hashed=False``: the minimum window
+    SUBSTRING itself — engine-independent (binary string comparison is
+    identical across Spark/DuckDB/Python), the oracle-checkable variant.
+    Documents shorter than ``window`` fingerprint as their whole
+    (lowercased) content on both variants."""
     c = F.col(col) if isinstance(col, str) else col
     lowered = F.lower(c)
     count = F.greatest(F.length(lowered) - F.lit(window - 1), F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.xxhash64(F.substring(lowered, i, window)),
+    # guard on count > 0, NOT on the windows array: F.sequence(1, 0)
+    # yields the descending [1, 0], never an empty array
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.substring(lowered, i, window),
     )
-    return F.when(F.size(hashes) > 0, F.array_min(hashes)).otherwise(
-        F.xxhash64(lowered)
-    )
+    if hashed:
+        return F.when(
+            count > 0,
+            F.array_min(F.transform(windows, lambda s: F.xxhash64(s))),
+        ).otherwise(F.xxhash64(lowered))
+    return F.when(count > 0, F.array_min(windows)).otherwise(lowered)

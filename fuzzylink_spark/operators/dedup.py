@@ -235,17 +235,24 @@ def near_dup_dedup(
     num_hashes: int = 32,
     bands: int = 16,
     shingle: int = 5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """One-call near-duplicate dedup: MinHash-LSH recall -> exact shingle-
     Jaccard verification -> connected components -> keep the min-id
     representative per duplicate cluster. Returns the input restricted to
     representatives, plus ``dup_cluster`` and ``n_dupes`` columns.
+
+    ``candidates`` (DataFrame[a, b]) overrides the MinHash-LSH recall
+    stage with a caller-supplied candidate set — e.g. winnowing
+    candidates, an external blocking, or an engine-independent pair
+    construction for oracle testing; the verify -> cluster -> represent
+    chain is identical either way.
     """
     from fuzzylink_spark.operators.clustering import connected_components
 
-    cand = lsh_candidate_pairs(df, id_col=id_col, num_hashes=num_hashes,
-                               bands=bands, content_col=content_col,
-                               shingle=shingle)
+    cand = candidates if candidates is not None else lsh_candidate_pairs(
+        df, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        content_col=content_col, shingle=shingle)
     verified = ngram_jaccard_pairs(df, cand, id_col=id_col,
                                    content_col=content_col, shingle=shingle,
                                    threshold=jaccard_threshold)
@@ -637,6 +644,64 @@ def exact_substring_pairs(
         .where(F.col("common_len") >= min_len)
         .select("a", "b", F.col("common_len").cast("long").alias("common_len"))
     )
+
+
+# 8 classic LCG (multiplier, increment) pairs: the universal-hash
+# permutation family of the PORTABLE MinHash variant. All multipliers
+# < 2^31, so a*h < 2^62 is exact in int64 on every engine.
+PORTABLE_COEFFS = (
+    (1664525, 1013904223), (22695477, 1), (69069, 362437),
+    (1103515245, 12345), (134775813, 1), (214013, 2531011),
+    (16807, 0), (48271, 11),
+)
+PORTABLE_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_portable_udf(shingle: int = 5, coeffs=PORTABLE_COEFFS,
+                         mult: int = 131, p: int = PORTABLE_P):
+    """Series→Series pandas UDF: text -> engine-portable MinHash signature
+    (array<long>, one min per permutation).
+
+    Same algorithm family as the production ``minhash_udf`` (rolling
+    polynomial gram hash + universal-hash permutations + min), but every
+    intermediate stays below 2^62 so ANY engine with 64-bit integers
+    reproduces it EXACTLY — no wraparound semantics required:
+
+      gram hash   h(g) = fold over codepoints: (acc*mult + cp) mod p
+      permutation m_i  = min over grams of (a_i*h + b_i) mod p
+
+    The production variant hashes in the full 2^64 space (lower collision
+    rate, byte-level vectorization); this one trades hash width for a
+    DuckDB/ANSI-SQL oracle (list_transform + list_reduce + list_aggregate
+    computes the identical signature). Collisions at 2^31 only merge
+    mins, and only matter for Jaccard ESTIMATION error — acceptable for
+    the verification use."""
+    pows = np.array([pow(mult, shingle - 1 - j, p) for j in range(shingle)],
+                    dtype=np.int64)
+    a = np.array([c[0] for c in coeffs], dtype=np.int64)
+    b = np.array([c[1] for c in coeffs], dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        for t in texts:
+            t = t or ""
+            cps = np.frombuffer(t.encode("utf-32-le", "surrogatepass"),
+                                dtype=np.uint32).astype(np.int64)
+            n = len(cps) - shingle + 1
+            if n <= 0:
+                out.append([])
+                continue
+            # sum(cp * (mult^j mod p)) ≡ the stepwise fold mod p; each
+            # term < 2^52, the k-term sum < 2^55 — exact in int64
+            g = (sliding_window_view(cps, shingle) * pows[None, :]).sum(axis=1) % p
+            mh = ((a[:, None] * g[None, :] + b[:, None]) % p).min(axis=1)
+            out.append([int(x) for x in mh])
+        return pd.Series(out)
+
+    return _sig
 
 
 def simhash64_udf(seed: int = 11):
