@@ -51,6 +51,33 @@ from fuzzylink_spark.plans.checkpoint import CheckpointManager, fingerprint
 log = logging.getLogger(__name__)
 
 
+def _progress_fn(progress, verbose: bool):
+    """Resolve the per-stage progress surface (reference ``verbose``,
+    R/fuzzylink.R:34, 94-99): ``progress`` is a user callback
+    ``(stage: str, wall_s: float, info: dict) -> None``; ``verbose=True``
+    without one installs a logging printer. Default: silent. Callbacks
+    fire AFTER each stage's action completes, with whatever counts that
+    action already produced — they never force extra jobs."""
+    if progress is not None:
+        return progress
+    if verbose:
+        def _p(stage: str, wall_s: float, info: dict) -> None:
+            log.info("fuzzylink stage %-18s %7.2fs %s", stage, wall_s,
+                     {k: v for k, v in info.items()} if info else "")
+        return _p
+    return None
+
+
+def _emit(cb, stage: str, t0: float, **info) -> float:
+    """Fire the progress callback (if any) and return a fresh stage t0."""
+    import time
+
+    now = time.monotonic()
+    if cb is not None:
+        cb(stage, round(now - t0, 3), info)
+    return now
+
+
 @dataclass
 class LinkResult:
     linked: DataFrame          # dfA left-joined with accepted matches (J6/J7)
@@ -445,6 +472,8 @@ def fuzzylink_twopass(
     labeler=None,
     al_band_delta: float = 0.45,
     al_band_cap: int = 5000,
+    progress=None,
+    verbose: bool = False,
 ) -> LinkResult:
     """Two-pass linkage for scales where the pair table itself is the
     bottleneck (10^12 candidate pairs ~ tens of TB of IR):
@@ -530,7 +559,8 @@ def fuzzylink_twopass(
     try:
         return _twopass_body(
             spark, dfA, dfB, config, bins, labeler, al_band_delta,
-            al_band_cap, uA, uB, blocks, salt_plan, encoder)
+            al_band_cap, uA, uB, blocks, salt_plan, encoder,
+            cb=_progress_fn(progress, verbose))
     except BaseException:
         for df in (uA, uB, blocks, salt_plan):
             df.unpersist()
@@ -538,8 +568,12 @@ def fuzzylink_twopass(
 
 
 def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
-                  al_band_cap, uA, uB, blocks, salt_plan, encoder):
+                  al_band_cap, uA, uB, blocks, salt_plan, encoder, cb=None):
+    import time
+
     import numpy as np
+
+    t0 = time.monotonic()
 
     from fuzzylink_spark.operators.cutoff import expected_f1_cutoff_from_hist
     from fuzzylink_spark.operators.features import (
@@ -585,6 +619,9 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
     cutoff = expected_f1_cutoff_from_hist(
         p_cells, hist[:, 2], fallback=config.fallback_cutoff,
         yes_mass=n_exact, strict_parity=config.cutoff_strict_parity)
+    t0 = _emit(cb, "pass1_hist+calibrate", t0,
+               n_hist_cells=len(cells), n_candidate_pairs=int(n_pairs),
+               cutoff=cutoff)
 
     key_dict, block_dict = pair_dictionaries(uA, uB, salt_plan)
     model_out = model
@@ -664,6 +701,7 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
         )
         scored_pool = recall_search_loop(scored_pool, labeler, config, cutoff)
         scored_band = scored_pool.localCheckpoint(eager=True)
+        t0 = _emit(cb, "al_band_pool", t0, cutoff=cutoff)
 
     # pass 2: in-kernel scoring, only accepted pairs ever leave a tile
     accepted = cogrouped_pair_features(
@@ -701,6 +739,8 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
     linked = assemble(dfA, dfB, accepted, config)
     metrics = {"cutoff": cutoff, "n_candidate_pairs": n_pairs,
                "n_accepted": accepted.count()}
+    t0 = _emit(cb, "pass2_accept+assemble", t0,
+               n_accepted=metrics["n_accepted"])
     if scored_band is not None:
         metrics["n_band"] = scored_band.count()
         metrics["n_labeled"] = scored_band.where(
@@ -722,9 +762,19 @@ def fuzzylink(
     config: LinkConfig | None = None,
     labeler=None,
     exact_cutoff: bool = False,
+    progress=None,
+    verbose: bool = False,
 ) -> LinkResult:
     """End-to-end linkage. Returns the linked table (one row per dfA record,
-    possibly several on many-to-many matches) plus the scored pair table."""
+    possibly several on many-to-many matches) plus the scored pair table.
+
+    ``progress`` / ``verbose``: per-stage completion surface (stage name,
+    wall seconds, info counts) — see ``_progress_fn``; reference parity
+    for the timestamped ``verbose`` messages of R/fuzzylink.R:94-99."""
+    import time
+
+    cb = _progress_fn(progress, verbose)
+    t0 = time.monotonic()
     config = replace(config or LinkConfig(), by=by,
                      blocking_keys=list(blocking_keys or []))
     # S2 validation with a friendly error before any plan is built
@@ -739,8 +789,10 @@ def fuzzylink(
         # sees record_type/instructions without closing over config
         labeler.set_context(record_type=config.record_type,
                             instructions=config.instructions)
+    t0 = _emit(cb, "validate", t0)
 
     pairs = build_scored_pairs(spark, dfA, dfB, config, ckpt, labeler)
+    t0 = _emit(cb, "block+featurize", t0)
     # scored STAYS persisted past return: LinkResult.linked/.pairs are lazy
     # plans over it, and unpersisting here would make the caller's first
     # action re-run the entire featurize GEMM. Ownership passes to the
@@ -757,6 +809,7 @@ def fuzzylink(
             fallback=config.fallback_cutoff,
             strict_parity=config.cutoff_strict_parity,
         )
+        t0 = _emit(cb, "score+calibrate", t0, cutoff=cutoff)
         accepted = accepted_matches(scored, cutoff)
         linked = assemble(dfA, dfB, accepted, config)
         metrics = {
@@ -765,6 +818,9 @@ def fuzzylink(
             "n_accepted": accepted.count(),
         }
         ckpt.write_lineage()
+        t0 = _emit(cb, "accept+assemble", t0,
+                   n_pairs=metrics["n_pairs"],
+                   n_accepted=metrics["n_accepted"])
     except BaseException:
         if scored is not None:
             scored.unpersist()

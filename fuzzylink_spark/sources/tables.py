@@ -46,7 +46,9 @@ def read_table(spark: SparkSession, path: str, required: list[str] | None = None
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "iceberg":
-        df = reader.format("iceberg").load(path)
+        # options pass through (snapshot-id / as-of-timestamp / branch —
+        # the time-travel surface); needs iceberg-spark-runtime jars
+        df = reader.options(**options).format("iceberg").load(path)
     elif fmt == "csv":
         opts = {"header": "true",
                 "inferSchema": "false" if schema is not None else "true"}

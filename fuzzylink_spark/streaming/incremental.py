@@ -196,7 +196,8 @@ def make_link_batch_fn(
     return process_batch
 
 
-def make_cluster_update_fn(spark, assignment_dir: str):
+def make_cluster_update_fn(spark, assignment_dir: str,
+                           max_batch_edges: int = 5_000_000):
     """foreachBatch callback maintaining an INCREMENTAL connected-components
     assignment table (id -> component, component = min id) under
     ``assignment_dir`` as accepted-match edges stream in.
@@ -213,14 +214,32 @@ def make_cluster_update_fn(spark, assignment_dir: str):
     append-only layout means reads resolve the latest version per id
     (``read_cluster_assignment``) and ``compact_cluster_assignment``
     rewrites it to one row per id. At cluster scale, partition the
-    assignment table by a component hash so step 3 prunes partitions."""
+    assignment table by a component hash so step 3 prunes partitions.
+
+    Step 2 COLLECTS the batch's edges to the driver — bounded by the
+    micro-batch size by contract, and ENFORCED by ``max_batch_edges``:
+    a batch larger than that fails loudly (with the cure: smaller
+    trigger intervals / maxOffsetsPerTrigger, or the batch
+    ``connected_components`` + a merge) instead of silently OOMing the
+    driver."""
     from fuzzylink_spark.operators.clustering import _driver_union_find
 
     def process_batch(edges: DataFrame, batch_id: int) -> None:
         if edges.isEmpty():
             return
-        batch_edges = [(r["src"], r["dst"])
-                       for r in edges.select("src", "dst").collect()]
+        capped = [r for r in edges.select("src", "dst")
+                  .limit(max_batch_edges + 1).collect()]
+        if len(capped) > max_batch_edges:
+            raise ValueError(
+                f"micro-batch {batch_id} exceeds max_batch_edges="
+                f"{max_batch_edges}: the incremental cluster maintainer "
+                "union-finds each batch's edges on the driver, which is "
+                "only safe for batch-bounded edge counts. Shrink the "
+                "trigger interval / source rate limit, raise "
+                "max_batch_edges if driver memory allows, or run the "
+                "batch connected_components operator and merge."
+            )
+        batch_edges = [(r["src"], r["dst"]) for r in capped]
         endpoints = sorted({n for e in batch_edges for n in e})
         try:
             current = read_cluster_assignment(spark, assignment_dir)

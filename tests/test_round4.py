@@ -151,3 +151,94 @@ def test_dense_block_ids_distinct_per_block(spark):
     assert len(ids) == len(set(ids)) == 4
     assert keys == {"b1", "b2", "only_a", "only_b"}
     assert sorted(ids) == [1, 2, 3, 4]
+
+
+def test_cluster_update_batch_guard(spark, tmp_path):
+    """The incremental cluster maintainer collects each batch's edges to
+    the driver; an oversized batch must fail LOUDLY at the configured cap,
+    not silently OOM."""
+    from fuzzylink_spark.streaming.incremental import make_cluster_update_fn
+
+    fn = make_cluster_update_fn(spark, str(tmp_path / "assign"),
+                                max_batch_edges=10)
+    small = spark.range(5).select(
+        F.col("id").alias("src"), (F.col("id") + 100).alias("dst"))
+    fn(small, 0)  # within the cap: fine
+    big = spark.range(20).select(
+        F.col("id").alias("src"), (F.col("id") + 100).alias("dst"))
+    with pytest.raises(ValueError, match="max_batch_edges"):
+        fn(big, 1)
+
+
+def test_iceberg_reader_surface(spark, monkeypatch):
+    """Pin the Iceberg reader plumbing without the runtime jars: format
+    string, path, and option passthrough (snapshot-id time travel) must
+    reach the DataFrameReader."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from fuzzylink_spark.sources.tables import read_table
+
+    captured = {}
+
+    def fake_options(self, **opts):
+        captured.setdefault("options", {}).update(opts)
+        return self
+
+    def fake_format(self, fmt):
+        captured["format"] = fmt
+        return self
+
+    def fake_load(self, path):
+        captured["path"] = path
+        return spark.range(1).select(F.col("id").alias("repo"))
+
+    monkeypatch.setattr(DataFrameReader, "options", fake_options)
+    monkeypatch.setattr(DataFrameReader, "format", fake_format)
+    monkeypatch.setattr(DataFrameReader, "load", fake_load)
+    df = read_table(spark, "warehouse.db.repo_files", fmt="iceberg",
+                    required=["repo"], **{"snapshot-id": "1234"})
+    assert captured["format"] == "iceberg"
+    assert captured["path"] == "warehouse.db.repo_files"
+    assert captured["options"].get("snapshot-id") == "1234"
+    assert df.columns == ["repo"]
+
+
+def _mini_linkage_frames(spark):
+    rows_a = [("alice johnson", "tx"), ("bob smith", "ca"),
+              ("carol danvers", "ny"), ("dan brown", "tx")]
+    rows_b = [("alice johnson", "tx"), ("bob smyth", "ca"),
+              ("karol danvers", "ny"), ("daniel brown", "tx")]
+    a = spark.createDataFrame(rows_a, "name string, state string")
+    b = spark.createDataFrame(rows_b, "name string, state string")
+    return a, b
+
+
+def test_progress_callback_stage_order(spark):
+    """fuzzylink/fuzzylink_twopass fire the per-stage progress callback in
+    pipeline order with wall times and counts (reference `verbose`
+    parity), and stay silent by default."""
+    from fuzzylink_spark.config import LinkConfig
+    from fuzzylink_spark.pipeline import fuzzylink, fuzzylink_twopass
+
+    a, b = _mini_linkage_frames(spark)
+    cfg = LinkConfig(embedding_dim=32)
+    seen = []
+    res = fuzzylink(spark, a, b, by="name", blocking_keys=["state"],
+                    config=cfg,
+                    progress=lambda st, w, info: seen.append((st, w, info)))
+    assert [s for s, _, _ in seen] == [
+        "validate", "block+featurize", "score+calibrate", "accept+assemble"]
+    assert all(w >= 0 for _, w, _ in seen)
+    assert seen[2][2]["cutoff"] == res.cutoff
+    assert seen[3][2]["n_accepted"] == res.metrics["n_accepted"]
+    res.release()
+
+    seen2 = []
+    res2 = fuzzylink_twopass(spark, a, b, by="name", blocking_keys=["state"],
+                             config=cfg,
+                             progress=lambda st, w, info: seen2.append((st, w, info)))
+    assert [s for s, _, _ in seen2] == [
+        "pass1_hist+calibrate", "pass2_accept+assemble"]
+    assert seen2[0][2]["cutoff"] == res2.metrics["cutoff"]
+    assert seen2[1][2]["n_accepted"] == res2.metrics["n_accepted"]
+    res2.pairs.unpersist()
