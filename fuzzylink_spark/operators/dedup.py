@@ -388,6 +388,12 @@ def _bound_fp_buckets(fp: DataFrame, max_bucket: int | None,
     self-join is then quadratic in the largest bucket)."""
     if max_bucket is None:
         return fp
+    if on_oversized in ("warn", "error"):
+        # the fingerprint UDF otherwise re-evaluates for the stats job and
+        # BOTH self-join sides (4 full passes); localCheckpoint pays it
+        # once — storage is released by the ContextCleaner when the result
+        # plan is dropped. 'ignore' keeps the fully lazy plan.
+        fp = fp.localCheckpoint(eager=True)
     sizes = fp.groupBy("fp").agg(F.count("*").alias("_n"))
     if on_oversized in ("warn", "error"):
         row = sizes.agg(
