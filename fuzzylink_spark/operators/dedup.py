@@ -655,6 +655,43 @@ def exact_substring_pairs(
 # 8 classic LCG (multiplier, increment) pairs: the universal-hash
 # permutation family of the PORTABLE MinHash variant. All multipliers
 # < 2^31, so a*h < 2^62 is exact in int64 on every engine.
+def exact_substring_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 23,
+    k: int = 8,
+    w: int = 16,
+    max_bucket: int | None = 1000,
+    on_oversized: str = "warn",
+) -> DataFrame:
+    """One-call GUARANTEED exact-substring dedup (the license/boilerplate/
+    contamination cleaner): ``exact_substring_pairs`` (winnowing recall +
+    anchor-extend verification) -> connected components -> keep the
+    min-id representative per group. Returns the input restricted to
+    representatives plus ``dup_cluster`` and ``n_dupes`` — the same
+    output contract as ``exact_dedup`` / ``near_dup_dedup``, with the
+    membership criterion "shares an exact substring of >= min_len chars
+    with some group member" (transitively)."""
+    from fuzzylink_spark.operators.clustering import connected_components
+
+    pairs = exact_substring_pairs(df, content_col, id_col, min_len=min_len,
+                                  k=k, w=w, max_bucket=max_bucket,
+                                  on_oversized=on_oversized)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    assign = connected_components(edges).withColumnRenamed("id", id_col)
+    joined = df.join(assign, id_col, "left").withColumn(
+        "dup_cluster", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    win = Window.partitionBy("dup_cluster").orderBy(F.col(id_col))
+    return (
+        joined.withColumn("_rn", F.row_number().over(win))
+        .withColumn("n_dupes", F.count("*").over(Window.partitionBy("dup_cluster")))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 PORTABLE_COEFFS = (
     (1664525, 1013904223), (22695477, 1), (69069, 362437),
     (1103515245, 12345), (134775813, 1), (214013, 2531011),

@@ -242,3 +242,24 @@ def test_progress_callback_stage_order(spark):
     assert seen2[0][2]["cutoff"] == res2.metrics["cutoff"]
     assert seen2[1][2]["n_accepted"] == res2.metrics["n_accepted"]
     res2.pairs.unpersist()
+
+
+def test_exact_substring_dedup_one_call(spark):
+    """Transitive exact-substring grouping: A~B and B~C share different
+    slices, so {A,B,C} collapse to one min-id representative."""
+    from fuzzylink_spark.operators.dedup import exact_substring_dedup
+
+    s1 = "alpha beta gamma delta epsilon zeta eta theta"   # 45 chars
+    s2 = "one two three four five six seven eight nine"    # 44 chars
+    rows = [
+        (1, f"doc a {s1} tail one"),
+        (2, f"doc b {s1} and also {s2} tail two"),
+        (3, f"doc c {s2} tail three"),
+        (4, "completely unrelated text with nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_substring_dedup(docs, min_len=30).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {1, 4}          # 1 represents {1,2,3}; 4 alone
+    assert by_id[1]["n_dupes"] == 3
+    assert by_id[4]["n_dupes"] == 1
