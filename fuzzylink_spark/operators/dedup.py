@@ -371,30 +371,42 @@ def winnowing_fingerprints(
 
 
 def _bound_fp_buckets(fp: DataFrame, max_bucket: int | None,
-                      on_oversized: str, what: str) -> DataFrame:
+                      on_oversized: str, what: str,
+                      doc_col: str | None = None) -> DataFrame:
     """Shared fingerprint-bucket bound: drop fingerprints whose bucket
-    exceeds ``max_bucket`` — but NEVER silently. ``on_oversized``:
+    exceeds ``max_bucket`` DOCUMENTS — but NEVER silently.
+    ``on_oversized``:
 
-    - ``'warn'`` (default): count oversized buckets (one extra aggregate
-      job over the fingerprint table) and log how many fingerprints were
-      dropped + the largest bucket, so boilerplate-concentrated recall
-      loss is visible;
+    - ``'warn'`` (default): count oversized buckets and log how many
+      fingerprints were dropped + the largest bucket, so boilerplate-
+      concentrated recall loss is visible. NOTE: warn/error modes
+      evaluate the fingerprint table EAGERLY at call time (one UDF pass,
+      localCheckpoint-cached for the stats job and both join sides);
     - ``'error'``: raise instead of dropping — for pipelines where the
       completeness guarantee is the point;
-    - ``'ignore'``: old behavior, no counting job (scale path where the
-      caller has already characterized the corpus).
+    - ``'ignore'``: no counting job and a fully LAZY plan (scale path
+      where the caller has already characterized the corpus).
 
-    ``max_bucket=None`` disables bounding entirely (full guarantee; the
-    self-join is then quadratic in the largest bucket)."""
+    ``doc_col``: when ``fp`` has several rows per (document, fingerprint)
+    — the positions table of the anchor verify path — bucket size is the
+    DISTINCT document count on this column, so the bound means the same
+    thing on every path. ``max_bucket=None`` disables bounding entirely
+    (full guarantee; the self-join is then quadratic in the largest
+    bucket)."""
+    if on_oversized not in ("warn", "error", "ignore"):
+        raise ValueError(
+            f"on_oversized must be warn|error|ignore, got {on_oversized!r}")
     if max_bucket is None:
         return fp
     if on_oversized in ("warn", "error"):
         # the fingerprint UDF otherwise re-evaluates for the stats job and
         # BOTH self-join sides (4 full passes); localCheckpoint pays it
         # once — storage is released by the ContextCleaner when the result
-        # plan is dropped. 'ignore' keeps the fully lazy plan.
+        # plan is dropped.
         fp = fp.localCheckpoint(eager=True)
-    sizes = fp.groupBy("fp").agg(F.count("*").alias("_n"))
+    counted = (F.count_distinct(F.col(doc_col)) if doc_col is not None
+               else F.count(F.lit(1)))
+    sizes = fp.groupBy("fp").agg(counted.alias("_n"))
     if on_oversized in ("warn", "error"):
         row = sizes.agg(
             F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0))
@@ -405,8 +417,8 @@ def _bound_fp_buckets(fp: DataFrame, max_bucket: int | None,
         if n_over > 0:
             msg = (
                 f"{what}: {n_over} fingerprint bucket(s) exceed "
-                f"max_bucket={max_bucket} (largest={row['largest']}) and "
-                "were dropped — document pairs sharing ONLY text "
+                f"max_bucket={max_bucket} docs (largest={row['largest']}) "
+                "and were dropped — document pairs sharing ONLY text "
                 "concentrated in those buckets (licenses, boilerplate) "
                 "will be missed. Raise max_bucket, pass max_bucket=None "
                 "for the unconditional guarantee, or on_oversized="
@@ -415,8 +427,6 @@ def _bound_fp_buckets(fp: DataFrame, max_bucket: int | None,
             if on_oversized == "error":
                 raise ValueError(msg)
             log.warning(msg)
-    elif on_oversized != "ignore":
-        raise ValueError(f"on_oversized must be warn|error|ignore, got {on_oversized!r}")
     return fp.join(sizes.where(F.col("_n") <= max_bucket), "fp").drop("_n")
 
 
@@ -553,7 +563,12 @@ def anchor_extend_udf(k: int):
                 while i0 >= 0 and j0 >= 0 and ta[i0] == tb[j0]:
                     i0 -= 1
                     j0 -= 1
-                i1, j1 = pa + k, pb + k
+                # whole-doc anchors of sub-k documents match on TRUNCATED
+                # slices — start the right extension at the true matched
+                # length, not pa+k (which would overshoot string ends and
+                # inflate common_len)
+                m = min(k, la - pa, lb - pb)
+                i1, j1 = pa + m, pb + m
                 while i1 < la and j1 < lb and ta[i1] == tb[j1]:
                     i1 += 1
                     j1 += 1
@@ -576,16 +591,27 @@ def exact_substring_pairs(
     max_bucket: int | None = 1000,
     on_oversized: str = "warn",
     verify: str = "anchor",
+    max_pos_per_fp: int | None = 32,
 ) -> DataFrame:
     """GUARANTEED exact-substring near-dup pairs DataFrame[a, b,
     common_len]: every document pair sharing an exact substring of length
     >= ``min_len`` appears (winnowing recall is complete above the k+w-1
-    threshold — COMPLETE up to ``max_bucket``: oversized fingerprint
-    buckets are dropped with a logged count, or pass ``max_bucket=None``
-    /``on_oversized='error'`` for the unconditional guarantee), and every
-    emitted pair is VERIFIED with the true longest-common-substring
-    length — the training-data contamination / license-text / boilerplate
-    detector with no probabilistic slack.
+    threshold — COMPLETE up to the two bounds below), and every emitted
+    pair is VERIFIED with the true longest-common-substring length — the
+    training-data contamination / license-text / boilerplate detector
+    with no probabilistic slack.
+
+    Completeness bounds (each disable-able for the unconditional
+    guarantee):
+    - ``max_bucket``: fingerprints shared by more than this many DOCUMENTS
+      are dropped, with a logged count (``on_oversized='warn'``), a raise
+      (``'error'``), or silently+lazily (``'ignore'``); ``None`` disables.
+      warn/error modes evaluate the fingerprint pass eagerly at call time.
+    - ``max_pos_per_fp`` (anchor path only): at most this many positions
+      of ONE fingerprint value are kept per document — recall can drop
+      only for substrings whose every selected gram repeats more than the
+      cap times within a single document (self-repetitive text such as
+      "abab..."); ``None`` disables the cap.
 
     Requires ``min_len >= k + w - 1`` (below that the fingerprint recall
     guarantee doesn't hold — lower k/w instead).
@@ -626,10 +652,15 @@ def exact_substring_pairs(
     elif verify == "anchor":
         fpp = df.select(
             F.col(id_col),
-            F.explode(winnowing_pos_udf(k=k, w=w)(F.col(content_col))).alias("s"),
+            F.explode(
+                winnowing_pos_udf(k=k, w=w, max_pos_per_fp=max_pos_per_fp
+                                  or 2**31 - 1)(F.col(content_col))
+            ).alias("s"),
         ).select(F.col(id_col), F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos"))
+        # bucket size counts DISTINCT documents (doc_col), not position
+        # rows, so max_bucket means the same thing as on the dp path
         bounded = _bound_fp_buckets(fpp, max_bucket, on_oversized,
-                                    "exact_substring_pairs")
+                                    "exact_substring_pairs", doc_col=id_col)
         left = bounded.select("fp", F.col(id_col).alias("a"), F.col("pos").alias("pa"))
         right = bounded.select("fp", F.col(id_col).alias("b"), F.col("pos").alias("pb"))
         anchors = (
@@ -652,9 +683,6 @@ def exact_substring_pairs(
     )
 
 
-# 8 classic LCG (multiplier, increment) pairs: the universal-hash
-# permutation family of the PORTABLE MinHash variant. All multipliers
-# < 2^31, so a*h < 2^62 is exact in int64 on every engine.
 def exact_substring_dedup(
     df: DataFrame,
     content_col: str = "text",
@@ -692,6 +720,9 @@ def exact_substring_dedup(
     )
 
 
+# 8 classic LCG (multiplier, increment) pairs: the universal-hash
+# permutation family of the PORTABLE MinHash variant. All multipliers
+# < 2^31, so a*h < 2^62 is exact in int64 on every engine.
 PORTABLE_COEFFS = (
     (1664525, 1013904223), (22695477, 1), (69069, 362437),
     (1103515245, 12345), (134775813, 1), (214013, 2531011),

@@ -271,9 +271,11 @@ def _salted_side(u: DataFrame, emb: DataFrame | None, block_k: DataFrame,
     the same sides); uncovered rows are dropped — grouping them under a
     shared fallback id would cross-pair unrelated blocks."""
     side = u.join(emb, "key") if emb is not None else u
-    flagged = side.join(F.broadcast(block_k), "block_key", "left").na.fill(
-        {"ka": 1, "kb": 1}
-    ).where(F.col("block_id").isNotNull())
+    # ka/kb are non-null by plan construction (greatest(..., 1)); rows the
+    # plan does not cover have null block_id and are dropped wholesale
+    flagged = side.join(F.broadcast(block_k), "block_key", "left").where(
+        F.col("block_id").isNotNull()
+    )
     ci = F.xxhash64(F.lower(F.col("key"))) if case_insensitive else F.xxhash64(F.col("key"))
     own_salt = F.pmod(F.xxhash64(F.col("key")), F.col(own)).cast("int")
     return (

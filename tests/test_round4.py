@@ -263,3 +263,48 @@ def test_exact_substring_dedup_one_call(spark):
     assert set(by_id) == {1, 4}          # 1 represents {1,2,3}; 4 alone
     assert by_id[1]["n_dupes"] == 3
     assert by_id[4]["n_dupes"] == 1
+
+
+def test_anchor_bucket_counts_docs_not_positions(spark):
+    """max_bucket bounds DISTINCT DOCUMENTS per fingerprint on the anchor
+    path (parity with the dp path), not position rows — a doc repeating a
+    fingerprint at many positions must not trip the bucket bound."""
+    from fuzzylink_spark.operators.dedup import exact_substring_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog today yes"
+    rep = ("zkx qpw " * 40)  # self-repetitive filler: many repeated grams
+    rows = [(1, rep + shared), (2, shared + " " + rep)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_bucket=2 docs: every fingerprint is shared by at most 2 docs, so
+    # NOTHING may be dropped even though position rows per fp can exceed 2
+    out = exact_substring_pairs(docs, min_len=30, max_bucket=2,
+                                on_oversized="error").collect()
+    assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
+
+
+def test_anchor_extend_short_identical_docs(spark):
+    """Whole-doc anchors of sub-k documents must report the TRUE common
+    length, not an overshoot past both string ends."""
+    from fuzzylink_spark.operators.dedup import anchor_extend_udf
+
+    df = spark.createDataFrame(
+        [("abc", "abc", [{"pa": 0, "pb": 0}]),
+         ("abcdef", "xabcdefy", [{"pa": 0, "pb": 1}])],
+        "a string, b string, anchors array<struct<pa:int,pb:int>>")
+    # k=8 > len("abc"): the whole-doc anchor must report 3, not k;
+    # truncated-UNEQUAL slices (case 2 at k=8) are collision-rejected
+    got8 = [r["n"] for r in df.select(
+        anchor_extend_udf(8)("a", "b", "anchors").alias("n")).collect()]
+    assert got8 == [3, 0]
+    # k=6: case-2 slices align exactly and extend to the true length 6
+    got6 = [r["n"] for r in df.select(
+        anchor_extend_udf(6)("a", "b", "anchors").alias("n")).collect()]
+    assert got6 == [3, 6]
+
+
+def test_on_oversized_validated_regardless_of_bucket(spark):
+    from fuzzylink_spark.operators.dedup import exact_substring_pairs
+
+    docs = spark.createDataFrame([(1, "x" * 40)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="on_oversized"):
+        exact_substring_pairs(docs, max_bucket=None, on_oversized="eror")
