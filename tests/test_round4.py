@@ -308,3 +308,20 @@ def test_on_oversized_validated_regardless_of_bucket(spark):
     docs = spark.createDataFrame([(1, "x" * 40)], "doc_id long, text string")
     with pytest.raises(ValueError, match="on_oversized"):
         exact_substring_pairs(docs, max_bucket=None, on_oversized="eror")
+
+
+def test_block_ids_stable_across_parallelism(spark):
+    """Dense block ids depend only on the block-key set — NOT on
+    target_cells/pair_budget (which vary with cluster size) — so a
+    checkpoint written at one parallelism resumes correctly at another."""
+    from fuzzylink_spark.operators.features import block_salt_plan
+
+    rows = [(f"b{i % 7}", f"k{i}") for i in range(50)]
+    uA = spark.createDataFrame(rows, "block_key string, key string")
+    uB = spark.createDataFrame(rows[10:], "block_key string, key string")
+    m1 = {r["block_key"]: r["block_id"]
+          for r in block_salt_plan(uA, uB, pair_budget=50_000).collect()}
+    m2 = {r["block_key"]: r["block_id"]
+          for r in block_salt_plan(uA, uB, pair_budget=1_000_000,
+                                   target_cells=256).collect()}
+    assert m1 == m2
