@@ -97,7 +97,7 @@ if mode == "hist":
     cells = cogrouped_pair_histogram(uA, uB, encoder=enc, salt_plan=plan).collect()
     wall = time.time() - t0
     # histogram mass excludes exact pairs by design; on this fixture the
-    # exact fraction is ~0.01% of the classic count, so the cross-plan
+    # exact fraction is ~1e-4 of the classic count, so the cross-plan
     # pairs/sec comparison is apples-to-apples to within measurement noise
     n = sum(r["n"] for r in cells)
     print(json.dumps({"cpus": cpus, "pairs": int(n), "wall_s": round(wall, 3),
@@ -112,7 +112,8 @@ else:
 """
 
 
-def run_once(cpus: int, sf_dir: str, mode: str = "classic") -> dict:
+def run_once(cpus: int, sf_dir: str, mode: str = "classic",
+             replicate: int = 8) -> dict:
     """One fresh-JVM featurize run.
 
     The whole process tree (JVM + Python workers) is PINNED to ``cpus``
@@ -122,7 +123,7 @@ def run_once(cpus: int, sf_dir: str, mode: str = "classic") -> dict:
     24 idle cores, deflating T_N and with it the measured N->4N ratio."""
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
-         WORKER % {"repo": REPO}, str(cpus), sf_dir, "8", mode],
+         WORKER % {"repo": REPO}, str(cpus), sf_dir, str(replicate), mode],
         capture_output=True, text=True, timeout=900,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -352,6 +353,27 @@ History under this one ceiling definition:
 | r2 | sequential, UNPINNED (JVM helpers rode free on idle cores at N; no tile control) | 0.661 | — | n/a | n/a |
 | r3 | sequential, pinned, best-of-3/level, 40 B IR | 0.477 | — | 0.812 | 0.587 |
 | r4 | interleaved A/B, pinned, medians, 29 B IR (this file) | {eff_med:.3f} | {heff_med:.3f} | {ceil_med:.3f} | {rel_med:.3f} |
+
+## Job-size amortization: efficiency converges to silicon as jobs grow
+
+The 96M-pair workload finishes local[32] in ~30 s, so the fixed
+per-level setup (side prep, salt-plan jobs, exchanges — the 11-18 s
+"noop_both" probe above) is a third of T_4N and caps measurable
+efficiency. The 100 TB design point is hours-long jobs where that cost
+vanishes. Measured on the HIST path, same protocol (interleaved 8/32,
+pinned, fresh JVMs), 2026-08-17 session:
+
+| pairs | T_8 (s) | T_32 (s) | eff raw | pairs/s @32 |
+|---|---|---|---|---|
+| 96M (replicate 8) | 63.9-78.3 | 28.4-31.6 | 0.539 / 0.587 / 0.619 | 3.0-3.4M |
+| 384M (replicate 16) | 217.4 / 245.4 | 79.1 / 81.9 | 0.687 / 0.749 | 4.7-4.9M |
+
+At 384M pairs the local[32] throughput (4.7-4.9M pairs/s) reaches the
+tile-kernel control's own absolute throughput at 32 procs — the pipeline
+is AT the silicon ceiling; the residual 8->32 ratio is dominated by the
+silicon's DVFS/bandwidth loss that a real N -> 4N executor scale-up does
+not pay. Reproduce:
+`python -c "import sys; sys.path.insert(0,'scripts'); import scaling_bench as sb; print(sb.run_once(8,'/root/testdata/sf0.1',mode='hist',replicate=16), sb.run_once(32,'/root/testdata/sf0.1',mode='hist',replicate=16))"`.
 
 ## What transfers to a real N -> 4N cluster
 
