@@ -308,6 +308,27 @@ def _q_jw_pairs(spark, sf):
     )
 
 
+def _q_levenshtein_pairs(spark, sf):
+    """stringdist method='lv' parity via Spark's builtin JVM levenshtein
+    (pure Catalyst, whole-stage codegen) — hard oracle against DuckDB's
+    levenshtein on the same cross product."""
+    import sys
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    _ensure_pkg(spark)
+    from fuzzylink_spark.functions.strdist import levenshtein_col
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 25).select(
+        F.col("c_custkey").alias("a_id"), F.col("c_name").alias("a_name")
+    )
+    s = _t(spark, sf, "supplier").where(F.col("s_suppkey") <= 40).select(
+        F.col("s_suppkey").alias("b_id"), F.col("s_name").alias("b_name")
+    )
+    return c.crossJoin(s).select(
+        "a_id", "b_id",
+        levenshtein_col("a_name", "b_name").cast("long").alias("lv"),
+    )
+
+
 def _q_cosine_topk(spark, sf):
     import sys
     if _REPO not in sys.path:
@@ -1057,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "connected_components": _q_connected_components,  # WITH RECURSIVE oracle
         "doc_fingerprint": _q_fingerprint,        # lex-min oracle (round 4)
+        "levenshtein_pairs": _q_levenshtein_pairs,  # builtin-lv oracle (round 4)
         "minhash_portable_sig": _q_minhash_portable,  # mod-p oracle (round 4)
         "neardup_cc_rep": _q_neardup_cc_rep,      # verify+CC+rep oracle (round 4)
         "twopass_parity": _q_twopass_parity,      # cross-plan invariant (round 4)
@@ -1393,6 +1415,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT A, B, round(p, 6) AS p FROM ranked WHERE ra = 1 AND rb = 1
         """,
+        "soundex_neq": """
+            -- Spark-soundex replica (verified char-for-char against
+            -- F.soundex on 27 probe cases incl. H/W-skip, vowel/non-letter
+            -- reset, non-alpha-leading passthrough): American Soundex via
+            -- list_reduce with a 'digits|last' string-encoded state
+            WITH inp AS (
+              SELECT c_custkey, c_name AS s1, reverse(c_name) AS s2
+              FROM customer WHERE c_custkey <= 50
+            ), un AS (
+              SELECT c_custkey, 1 AS which, s1 AS s FROM inp
+              UNION ALL
+              SELECT c_custkey, 2 AS which, s2 AS s FROM inp
+            ), sx AS (
+              SELECT c_custkey, which,
+                     CASE WHEN length(s) = 0 THEN ''
+               WHEN NOT (substr(upper(s),1,1) BETWEEN 'A' AND 'Z') THEN s
+               ELSE substr(upper(s),1,1) || rpad(split_part(list_reduce(
+                 list_prepend(
+                   '|' || substr('01230120022455012623010202', unicode(substr(upper(s),1,1)) - 64, 1),
+                   list_transform(range(2, length(upper(s)) + 1), i -> substr(upper(s), CAST(i AS INT), 1))),
+                 (acc, c) -> CASE
+                   WHEN NOT (c BETWEEN 'A' AND 'Z')
+                     THEN split_part(acc, '|', 1) || '|0'
+                   WHEN c IN ('H', 'W') THEN acc
+                   ELSE CASE
+                     WHEN substr('01230120022455012623010202', unicode(c) - 64, 1) != '0'
+                          AND substr('01230120022455012623010202', unicode(c) - 64, 1) != split_part(acc, '|', 2)
+                          AND length(split_part(acc, '|', 1)) < 3
+                     THEN split_part(acc, '|', 1) || substr('01230120022455012623010202', unicode(c) - 64, 1)
+                     ELSE split_part(acc, '|', 1)
+                   END || '|' || substr('01230120022455012623010202', unicode(c) - 64, 1)
+                 END), '|', 1), 3, '0')
+          END AS code
+              FROM un
+            )
+            SELECT a.c_custkey,
+                   CAST(a.code != b.code AS DOUBLE) AS sdx_neq
+            FROM sx a JOIN sx b ON a.c_custkey = b.c_custkey
+            WHERE a.which = 1 AND b.which = 2
+        """,
+        "levenshtein_pairs": """
+            SELECT c.c_custkey AS a_id, s.s_suppkey AS b_id,
+                   CAST(levenshtein(lower(c.c_name), lower(s.s_name)) AS BIGINT) AS lv
+            FROM customer c CROSS JOIN supplier s
+            WHERE c.c_custkey <= 25 AND s.s_suppkey <= 40
+        """,
         "doc_fingerprint": """
             SELECT doc_id,
                    CASE WHEN length(lower(text)) >= 8 THEN
@@ -1464,7 +1532,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS n_exact_symdiff,
                    CAST(1 AS BOOLEAN) AS within_bound
         """,
-        # soundex_neq / lexical_features: DuckDB lacks soundex/OSA/LCS/q-gram
+        # lexical_features: DuckDB lacks OSA/LCS/q-gram counterparts
+        # (its damerau_levenshtein is the UNRESTRICTED variant, not OSA)
         # o2/o3 samples: seeded-rand sampling, engine-specific
         # minhash_lsh/simhash/near_dup_dedup/em_mixture/twopass_accepted/
         # active_learning: rows-only (iterative or 2^64-hash-specific);

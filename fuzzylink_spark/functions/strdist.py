@@ -615,3 +615,16 @@ def soundex_neq_col(a_col: str, b_col: str):
         (F.soundex(F.lower(F.col(a_col))) != F.soundex(F.lower(F.col(b_col))))
         .cast("double")
     )
+
+
+def levenshtein_col(a_col, b_col, case_insensitive: bool = True):
+    """Plain Levenshtein edit distance (stringdist method='lv' — the
+    OSA/F3 family without the transposition rule) as a pure Catalyst
+    expression: Spark's builtin JVM levenshtein stays inside whole-stage
+    codegen, no Python in the loop. Prefer this over the batch DP kernels
+    whenever transpositions don't matter."""
+    ca = F.col(a_col) if isinstance(a_col, str) else a_col
+    cb = F.col(b_col) if isinstance(b_col, str) else b_col
+    if case_insensitive:
+        ca, cb = F.lower(ca), F.lower(cb)
+    return F.levenshtein(ca, cb)
