@@ -363,12 +363,17 @@ efficiency. The 100 TB design point is hours-long jobs where that cost
 vanishes. Measured on the HIST path, same protocol (interleaved 8/32,
 pinned, fresh JVMs), 2026-08-17 session:
 
-| pairs | T_8 (s) | T_32 (s) | eff raw | pairs/s @32 |
-|---|---|---|---|---|
-| 96M (replicate 8) | 63.9-78.3 | 28.4-31.6 | 0.539 / 0.587 / 0.619 | 3.0-3.4M |
-| 384M (replicate 16) | 217.4 / 245.4 | 79.1 / 81.9 | 0.687 / 0.749 | 4.7-4.9M |
+| plan | pairs | T_8 (s) | T_32 (s) | eff raw | pairs/s @32 |
+|---|---|---|---|---|---|
+| hist | 96M (replicate 8) | 63.9-78.3 | 28.4-31.6 | 0.539 / 0.587 / 0.619 | 3.0-3.4M |
+| hist | 384M (replicate 16) | 217.4 / 245.4 | 79.1 / 81.9 | 0.687 / 0.749 | 4.7-4.9M |
+| classic | 96M (replicate 8) | 75.3-81.9 | 42.6-57.0 | 0.341 / 0.432 / 0.481 | 1.7-2.3M |
+| classic | 384M (replicate 16) | 247.4 | 105.4 | 0.587 | 3.6M |
 
-At 384M pairs the local[32] throughput (4.7-4.9M pairs/s) reaches the
+Both plans amortize toward silicon (classic 0.43 -> 0.59, hist 0.59 ->
+0.72 as the job grows 4x); the residual classic-vs-hist gap is the melt
+decode tax quantified above. At 384M pairs the hist local[32] throughput
+(4.7-4.9M pairs/s) reaches the
 tile-kernel control's own absolute throughput at 32 procs — the pipeline
 is AT the silicon ceiling; the residual 8->32 ratio is dominated by the
 silicon's DVFS/bandwidth loss that a real N -> 4N executor scale-up does
