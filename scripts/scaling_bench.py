@@ -366,15 +366,17 @@ pinned, fresh JVMs), 2026-08-17 session:
 | plan | pairs | T_8 (s) | T_32 (s) | eff raw | pairs/s @32 |
 |---|---|---|---|---|---|
 | hist | 96M (replicate 8) | 63.9-78.3 | 28.4-31.6 | 0.539 / 0.587 / 0.619 | 3.0-3.4M |
-| hist | 384M (replicate 16) | 217.4 / 226.5 / 245.4 | 67.2 / 79.1 / 81.9 | 0.687 / 0.749 / 0.843 | 4.7-5.7M |
+| hist | 384M (replicate 16) | 217.4-245.4 (5 runs) | 67.2-81.9 (5 runs) | 0.687 / 0.749 / 0.784 / 0.805 / 0.843 — median 0.784 | 4.7-5.7M |
 | classic | 96M (replicate 8) | 75.3-81.9 | 42.6-57.0 | 0.341 / 0.432 / 0.481 | 1.7-2.3M |
 | classic | 384M (replicate 16) | 247.4 | 105.4 | 0.587 | 3.6M |
 
-Both plans amortize toward silicon (classic 0.43 -> 0.59, hist 0.59 ->
-0.75 median as the job grows 4x; the best epoch-clean 384M sample
-measured **0.843 — above the >= 0.8 criterion**, with 5.7M pairs/s at
-local[32]); the residual classic-vs-hist gap is the melt decode tax
-quantified above. At 384M pairs the hist local[32] throughput
+Both plans amortize toward silicon as the job grows 4x: classic 0.43 ->
+0.59, hist 0.59 -> **0.784 median over five interleaved samples (0.687 /
+0.749 / 0.784 / 0.805 / 0.843), two of five at or above the >= 0.8
+criterion**, at 4.7-5.7M pairs/s on local[32]. The job-size trend (eff
+rises monotonically with amortization) extrapolates above 0.8 for the
+hours-long jobs of the 100 TB design point; the residual classic-vs-hist
+gap is the melt decode tax quantified above. At 384M pairs the hist local[32] throughput
 (4.7-4.9M pairs/s) reaches the
 tile-kernel control's own absolute throughput at 32 procs — the pipeline
 is AT the silicon ceiling; the residual 8->32 ratio is dominated by the
