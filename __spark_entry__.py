@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
     dfa = docs.where(side == 0).select(key, "lang", "doc_id")
     dfb = docs.where(side == 1).select(key, "lang", "doc_id")
     cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128)
-    pairs = build_scored_pairs(spark, dfa, dfb, cfg)
+    pairs = build_scored_pairs(spark, dfa, dfb, cfg).df
     scored, _model = fit_and_score(pairs, cfg)
     return scored.select(
         "A", "B", "block_key",

@@ -447,7 +447,13 @@ def winnowing_candidate_pairs(
     boilerplate concentrates in exactly those buckets). Pass
     ``max_bucket=None`` for the unconditional guarantee. Equi self-join
     on the fingerprint; verify survivors with
-    ``ngram_jaccard_pairs(shingle=k)`` or a direct content compare."""
+    ``ngram_jaccard_pairs(shingle=k)`` or a direct content compare.
+
+    NOTE eager default: ``on_oversized`` in ('warn', 'error') runs the
+    fingerprint UDF + a counting job AT CALL TIME (localCheckpoint-cached;
+    storage released by the ContextCleaner when the result plan is
+    dropped) so bucket drops are visible before you act on the result;
+    pass ``'ignore'`` for a fully lazy plan."""
     fp = winnowing_fingerprints(df, content_col, id_col, k=k, w=w)
     bounded = _bound_fp_buckets(fp, max_bucket, on_oversized, "winnowing")
     left = bounded.select("fp", F.col(id_col).alias("a"))
@@ -528,7 +534,7 @@ def winnowing_pos_udf(k: int = 8, w: int = 16, max_pos_per_fp: int = 32):
     return _win
 
 
-def anchor_extend_udf(k: int):
+def anchor_extend_udf(k: int, max_extend_chars: int | None = 1_000_000):
     """(text_a, text_b, anchors array<struct<pa,pb>>) -> longest common
     substring length THROUGH any aligned anchor, by greedy left/right
     extension on the lowercased texts.
@@ -538,7 +544,22 @@ def anchor_extend_udf(k: int):
     covered them, and each anchor is collision-checked (k-gram equality)
     before extending. Equal to the TRUE longest-common-substring length
     whenever that length >= k+w-1 (the winnowing guarantee places an
-    aligned anchor inside every such substring)."""
+    aligned anchor inside every such substring).
+
+    ``max_extend_chars`` is the per-pair EXTENSION BUDGET (total matched
+    characters walked across all anchors, default 1M): two highly
+    repetitive near-identical documents place surviving anchors on many
+    distinct diagonals, and re-extending each diagonal is O(doc len) — the
+    budget gives the verify stage a stated per-pair ceiling of
+    O(anchors + max_extend_chars). Diagonals are processed DENSEST-FIRST
+    (a shared run of length L contributes ~L/w anchors on ONE diagonal),
+    so the budget reaches the dominant shared run before scattered noise
+    diagonals; a pair that exhausts the budget reports the best completed
+    extension — a LOWER BOUND on the true common length — and a warning is
+    logged once per worker. ``None`` disables the cap (exact for every
+    anchor, unbounded worst case)."""
+
+    warned = [False]  # once-per-python-worker cap warning
 
     @F.pandas_udf(T.IntegerType())
     def _ext(a: pd.Series, b: pd.Series, anchors: pd.Series) -> pd.Series:
@@ -548,11 +569,18 @@ def anchor_extend_udf(k: int):
             tb = (tb or "").lower()
             la, lb = len(ta), len(tb)
             best = 0
+            walked = 0
             diag_end: dict[int, int] = {}
-            items = sorted(
-                ((int(x["pa"]), int(x["pb"])) for x in anc),
-                key=lambda t: (t[1] - t[0], t[0]),
-            )
+            items = [(int(x["pa"]), int(x["pb"])) for x in anc]
+            diag_n: dict[int, int] = {}
+            for pa, pb in items:
+                d = pb - pa
+                diag_n[d] = diag_n.get(d, 0) + 1
+            # densest diagonal first: the longest shared run has the most
+            # anchors on its diagonal, so the budget covers it before any
+            # noise diagonal; within a diagonal left-to-right for the
+            # diag_end skip
+            items.sort(key=lambda t: (-diag_n[t[1] - t[0]], t[1] - t[0], t[0]))
             for pa, pb in items:
                 d = pb - pa
                 if pa < diag_end.get(d, 0):
@@ -575,6 +603,18 @@ def anchor_extend_udf(k: int):
                 diag_end[d] = i1
                 if i1 - i0 - 1 > best:
                     best = i1 - i0 - 1
+                walked += i1 - i0 - 1
+                if max_extend_chars is not None and walked > max_extend_chars:
+                    if not warned[0]:
+                        warned[0] = True
+                        logging.getLogger(__name__).warning(
+                            "anchor_extend: per-pair extension budget "
+                            "max_extend_chars=%d exhausted (best completed "
+                            "extension=%d chars is reported — a lower bound "
+                            "on the true common length). Raise the budget "
+                            "or pass None for exact-at-any-cost.",
+                            max_extend_chars, best)
+                    break
             out[i] = best
         return pd.Series(out)
 
@@ -592,6 +632,7 @@ def exact_substring_pairs(
     on_oversized: str = "warn",
     verify: str = "anchor",
     max_pos_per_fp: int | None = 32,
+    max_extend_chars_per_pair: int | None = 1_000_000,
 ) -> DataFrame:
     """GUARANTEED exact-substring near-dup pairs DataFrame[a, b,
     common_len]: every document pair sharing an exact substring of length
@@ -611,10 +652,23 @@ def exact_substring_pairs(
       of ONE fingerprint value are kept per document — recall can drop
       only for substrings whose every selected gram repeats more than the
       cap times within a single document (self-repetitive text such as
-      "abab..."); ``None`` disables the cap.
+      "abab..."); ``None`` disables the cap (must be >= 1 otherwise).
+    - ``max_extend_chars_per_pair`` (anchor path only): per-pair extension
+      budget in matched characters walked across all anchors — the verify
+      stage's stated ceiling, O(anchors + budget) per pair. Diagonals are
+      extended densest-first so the budget reaches the dominant shared run
+      before noise diagonals; a pair that exhausts it reports a LOWER
+      BOUND ``common_len`` (warning logged once per worker). ``None``
+      disables the cap.
 
     Requires ``min_len >= k + w - 1`` (below that the fingerprint recall
     guarantee doesn't hold — lower k/w instead).
+
+    NOTE eager default: ``on_oversized`` in ('warn', 'error') runs the
+    fingerprint UDF + a counting job AT CALL TIME (localCheckpoint-cached,
+    released by the ContextCleaner with the result plan) so bucket drops
+    are visible before you act on the result; pass ``'ignore'`` for a
+    fully lazy plan once the corpus is characterized.
 
     ``verify='anchor'`` (default, the scale path): fingerprints carry
     their character positions; candidates are (fp-bucketed) position
@@ -626,6 +680,12 @@ def exact_substring_pairs(
     Both report the same ``common_len`` for every emitted pair, because
     anchor-extension equals the true LCS length whenever it is
     >= k+w-1 <= min_len."""
+    if max_pos_per_fp is not None and max_pos_per_fp < 1:
+        # `or`-defaulting would have treated an explicit 0 as "uncapped"
+        raise ValueError(
+            f"max_pos_per_fp={max_pos_per_fp} must be >= 1, or None to "
+            "disable the per-document position cap"
+        )
     if min_len < k + w - 1:
         raise ValueError(
             f"min_len={min_len} is below the winnowing recall guarantee "
@@ -653,8 +713,10 @@ def exact_substring_pairs(
         fpp = df.select(
             F.col(id_col),
             F.explode(
-                winnowing_pos_udf(k=k, w=w, max_pos_per_fp=max_pos_per_fp
-                                  or 2**31 - 1)(F.col(content_col))
+                winnowing_pos_udf(
+                    k=k, w=w,
+                    max_pos_per_fp=(2**31 - 1 if max_pos_per_fp is None
+                                    else max_pos_per_fp))(F.col(content_col))
             ).alias("s"),
         ).select(F.col(id_col), F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos"))
         # bucket size counts DISTINCT documents (doc_col), not position
@@ -672,7 +734,8 @@ def exact_substring_pairs(
         joined = anchors.join(a_txt, "a").join(b_txt, "b").repartition(n_part)
         verified = joined.withColumn(
             "common_len",
-            anchor_extend_udf(k)(F.col("_ta"), F.col("_tb"), F.col("_anchors")),
+            anchor_extend_udf(k, max_extend_chars_per_pair)(
+                F.col("_ta"), F.col("_tb"), F.col("_anchors")),
         )
     else:
         raise ValueError(f"verify must be 'anchor' or 'dp', got {verify!r}")
@@ -692,6 +755,7 @@ def exact_substring_dedup(
     w: int = 16,
     max_bucket: int | None = 1000,
     on_oversized: str = "warn",
+    max_extend_chars_per_pair: int | None = 1_000_000,
 ) -> DataFrame:
     """One-call GUARANTEED exact-substring dedup (the license/boilerplate/
     contamination cleaner): ``exact_substring_pairs`` (winnowing recall +
@@ -703,9 +767,10 @@ def exact_substring_dedup(
     with some group member" (transitively)."""
     from fuzzylink_spark.operators.clustering import connected_components
 
-    pairs = exact_substring_pairs(df, content_col, id_col, min_len=min_len,
-                                  k=k, w=w, max_bucket=max_bucket,
-                                  on_oversized=on_oversized)
+    pairs = exact_substring_pairs(
+        df, content_col, id_col, min_len=min_len, k=k, w=w,
+        max_bucket=max_bucket, on_oversized=on_oversized,
+        max_extend_chars_per_pair=max_extend_chars_per_pair)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     assign = connected_components(edges).withColumnRenamed("id", id_col)
     joined = df.join(assign, id_col, "left").withColumn(

@@ -98,6 +98,37 @@ class LinkResult:
             pass
 
 
+@dataclass
+class ScoredPairs:
+    """Result of :func:`build_scored_pairs`: the labeled, feature-complete
+    pair DataFrame plus an EXPLICIT handle on the persisted upstream
+    intermediates (distinct blocks, distinct key sides, salt plan).
+
+    The handle replaces the old ``df._link_intermediates`` dynamic
+    attribute, which any transformation between producer and consumer
+    silently dropped (leaking executor storage). Ownership is now
+    unambiguous: whoever holds the ``ScoredPairs`` calls
+    :meth:`release_intermediates` once a downstream result over ``df`` is
+    materialized (``fuzzylink`` does; long-lived sessions composing
+    ``build_scored_pairs`` directly must too)."""
+
+    df: DataFrame              # the scored pair table (lazy plan)
+    intermediates: list        # persisted upstream DataFrames
+
+    def release_intermediates(self) -> None:
+        """Unpersist the upstream caches. Idempotent; safe after the
+        session is gone. Call AFTER the last action that may recompute
+        ``df`` from its upstream plan (or after persisting+materializing
+        ``df`` itself), else the next action re-runs the featurize GEMM
+        from cold inputs."""
+        for d in self.intermediates:
+            try:
+                d.unpersist()
+            except Exception:  # noqa: BLE001 — already released / session gone
+                pass
+        self.intermediates = []
+
+
 def build_scored_pairs(
     spark: SparkSession,
     dfA: DataFrame,
@@ -106,7 +137,7 @@ def build_scored_pairs(
     ckpt: CheckpointManager | None = None,
     labeler=None,
     attach_strings: bool = True,
-) -> DataFrame:
+) -> ScoredPairs:
     """Stages 0-4: from raw inputs to the labeled, feature-complete pair
     table.
 
@@ -117,15 +148,16 @@ def build_scored_pairs(
     ``(A, B, block_key, sim, jw, exact, match, ...)`` schema; pass False
     for the pure IR (production path: strings rejoin only at assemble).
 
-    The returned DataFrame's ``_link_intermediates`` lists the persisted
-    upstream DataFrames (sides, blocks, salt plan) — release them once a
-    downstream result is materialized (``fuzzylink`` does). On ANY raise
-    the persists made so far are released here, so failed calls never
-    leak executor storage."""
+    Returns a :class:`ScoredPairs`: ``.df`` is the pair table, and
+    ``.release_intermediates()`` unpersists the upstream caches (sides,
+    blocks, salt plan) once a downstream result is materialized
+    (``fuzzylink`` does this). On ANY raise the persists made so far are
+    released here, so failed calls never leak executor storage."""
     persisted: list[DataFrame] = []
     try:
-        return _scored_pairs_impl(spark, dfA, dfB, config, ckpt, labeler,
-                                  attach_strings, persisted)
+        df = _scored_pairs_impl(spark, dfA, dfB, config, ckpt, labeler,
+                                attach_strings, persisted)
+        return ScoredPairs(df=df, intermediates=list(persisted))
     except BaseException:
         for df in persisted:
             df.unpersist()
@@ -204,7 +236,7 @@ def _scored_pairs_impl(
 
     # the tile plan is built HERE (not inside cogrouped_pair_features) so
     # this function owns its persist lifecycle explicitly — released with
-    # the other side caches via _link_intermediates. It is also the
+    # the other side caches via the ScoredPairs handle. It is also the
     # authority for the dense block ids the melt emits.
     salt_plan = block_salt_plan(
         uA, uB, config.salt_pair_threshold,
@@ -323,9 +355,8 @@ def _scored_pairs_impl(
         seed_pairs = uniform_sample_n(seed_pairs, config.initial_train_n, config.seed)
         labels = labeler.label_pairs(seed_pairs)
         scored = merge_labels(scored, labels)
-    # expose the persisted intermediates so long-lived sessions can release
-    # them once a downstream result is materialized (fuzzylink() does)
-    scored._link_intermediates = list(persisted)
+    # the wrapper (build_scored_pairs) packages `persisted` into the
+    # returned ScoredPairs handle — explicit ownership, no dynamic attrs
     return scored
 
 
@@ -520,49 +551,53 @@ def fuzzylink_twopass(
     blocking = config.blocking_keys
 
     a = add_block_key(drop_incomplete(dfA, by, blocking, warn=False), blocking)
-    blocks = distinct_blocks(dfA, blocking).persist()
-    b = semi_join_blocks(drop_incomplete(dfB, by, blocking, warn=False),
-                         blocks, blocking,
-                         broadcast_threshold=config.broadcast_threshold_rows,
-                         known_small=config.blocks_are_small)
-    uA = unique_keys_per_block(a, by).persist()
-    uB = unique_keys_per_block(b, by).persist()
-    if blocking and uB.limit(1).count() == 0:
-        for df in (uA, uB, blocks):
-            df.unpersist()
-        raise ValueError(
-            "blocking removed every dfB row: no overlap between dfA and dfB "
-            f"on blocking keys {blocking}"
-        )
-
-    from fuzzylink_spark.functions.vectors import embed_strings
-
-    dim, ngrams, eseed = (config.embedding_dim, config.encoder_ngrams,
-                          config.encoder_seed)
-
-    def encoder(keys_batch: list[str]):
-        return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
-
-    # one tiling for every pass (hist / band / accept): fewer planning
-    # jobs, and identical tile boundaries across passes by construction
-    from fuzzylink_spark.operators.features import block_salt_plan
-
-    salt_plan = block_salt_plan(
-        uA, uB, config.salt_pair_threshold,
-        target_cells=spark.sparkContext.defaultParallelism * 3).persist()
-
-    # everything below runs under the four persists (uA/uB/blocks/
-    # salt_plan); any raise — the no-candidates ValueError, a labeler
-    # failure mid-AL-loop — must release them or repeated failed calls in
-    # a long-lived session leak executor storage (same contract as
-    # fuzzylink()'s except-cleanup-raise block)
+    # every persist appends to `persisted` INSIDE the try, so a raise
+    # anywhere after the first persist — semi_join_blocks' cardinality
+    # guard, the empty-overlap check, block_salt_plan's eager stats job,
+    # or the body itself — releases exactly the caches made so far.
+    # Repeated failed calls in a long-lived session never leak executor
+    # storage (same pattern as build_scored_pairs).
+    persisted: list[DataFrame] = []
     try:
+        blocks = distinct_blocks(dfA, blocking).persist()
+        persisted.append(blocks)
+        b = semi_join_blocks(drop_incomplete(dfB, by, blocking, warn=False),
+                             blocks, blocking,
+                             broadcast_threshold=config.broadcast_threshold_rows,
+                             known_small=config.blocks_are_small)
+        uA = unique_keys_per_block(a, by).persist()
+        persisted.append(uA)
+        uB = unique_keys_per_block(b, by).persist()
+        persisted.append(uB)
+        if blocking and uB.limit(1).count() == 0:
+            raise ValueError(
+                "blocking removed every dfB row: no overlap between dfA and "
+                f"dfB on blocking keys {blocking}"
+            )
+
+        from fuzzylink_spark.functions.vectors import embed_strings
+
+        dim, ngrams, eseed = (config.embedding_dim, config.encoder_ngrams,
+                              config.encoder_seed)
+
+        def encoder(keys_batch: list[str]):
+            return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
+
+        # one tiling for every pass (hist / band / accept): fewer planning
+        # jobs, and identical tile boundaries across passes by construction
+        from fuzzylink_spark.operators.features import block_salt_plan
+
+        salt_plan = block_salt_plan(
+            uA, uB, config.salt_pair_threshold,
+            target_cells=spark.sparkContext.defaultParallelism * 3).persist()
+        persisted.append(salt_plan)
+
         return _twopass_body(
             spark, dfA, dfB, config, bins, labeler, al_band_delta,
             al_band_cap, uA, uB, blocks, salt_plan, encoder,
             cb=_progress_fn(progress, verbose))
     except BaseException:
-        for df in (uA, uB, blocks, salt_plan):
+        for df in persisted:
             df.unpersist()
         raise
 
@@ -791,7 +826,8 @@ def fuzzylink(
                             instructions=config.instructions)
     t0 = _emit(cb, "validate", t0)
 
-    pairs = build_scored_pairs(spark, dfA, dfB, config, ckpt, labeler)
+    sp = build_scored_pairs(spark, dfA, dfB, config, ckpt, labeler)
+    pairs = sp.df
     t0 = _emit(cb, "block+featurize", t0)
     # scored STAYS persisted past return: LinkResult.linked/.pairs are lazy
     # plans over it, and unpersisting here would make the caller's first
@@ -824,13 +860,11 @@ def fuzzylink(
     except BaseException:
         if scored is not None:
             scored.unpersist()
-        for df in getattr(pairs, "_link_intermediates", []):
-            df.unpersist()
+        sp.release_intermediates()
         raise
     # scored is materialized in cache now — the upstream side caches
     # (uA/uB/blocks) are dead weight; release them so repeated calls
     # in one session don't accumulate storage
-    for df in getattr(pairs, "_link_intermediates", []):
-        df.unpersist()
+    sp.release_intermediates()
     return LinkResult(linked=linked, pairs=scored, cutoff=cutoff,
                       model=model, metrics=metrics)

@@ -72,6 +72,7 @@ def link_repo_files(
     )
     sides = keyed.select("name", "lang").distinct()
 
+    sp = None
     if twopass:
         from fuzzylink_spark.pipeline import fuzzylink_twopass
 
@@ -81,9 +82,9 @@ def link_repo_files(
         scored, model, cutoff = res.pairs, res.model, res.cutoff
         accepted = scored  # pass 2 emits only accepted pairs
     else:
-        pairs = build_scored_pairs(spark, sides, sides, config,
-                                   labeler=labeler)
-        scored, model = fit_and_score(pairs, config, labeler)
+        sp = build_scored_pairs(spark, sides, sides, config,
+                                labeler=labeler)
+        scored, model = fit_and_score(sp.df, config, labeler)
         scored = scored.persist()
         # exclude trivial self-pairs from the cutoff search (accepted by
         # construction; they would skew the histogram) — the IR's `exact`
@@ -93,10 +94,6 @@ def link_repo_files(
         cutoff = expected_f1_cutoff(nontrivial, bins=config.cutoff_bins,
                                     fallback=config.fallback_cutoff,
                                     strict_parity=config.cutoff_strict_parity)
-        # the cutoff search materialized `scored` into cache — the
-        # upstream side/plan persists are dead weight from here on
-        for df in getattr(pairs, "_link_intermediates", []):
-            df.unpersist()
         accepted = accepted_matches(scored, cutoff)
 
     # key pairs -> file-id edges: two joins against the (key -> id) map
@@ -133,6 +130,13 @@ def link_repo_files(
         .withColumn("cluster", F.coalesce(F.col("component"), F.col("id")))
         .select(F.col("id").alias(id_col), "cluster", "content_sha256")
     )
+    if sp is not None:
+        # release the upstream side/plan caches LAST: connected_components
+        # has materialized every edge action over `scored` by now, so
+        # nothing downstream can fall back to the un-cached upstream plan
+        # and re-run the featurize GEMM (r4 advice: releasing right after
+        # the cutoff search left that window open under memory pressure)
+        sp.release_intermediates()
     result = {
         "assignment": assignment,
         "pairs": scored,

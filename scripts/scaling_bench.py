@@ -67,7 +67,7 @@ cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=128,
 w500 = docs.limit(500)
 wa = w500.where(side == 0).select(key, "lang", "doc_id")
 wb = w500.where(side == 1).select(key, "lang", "doc_id")
-build_scored_pairs(spark, wa, wb, cfg, attach_strings=False).count()
+build_scored_pairs(spark, wa, wb, cfg, attach_strings=False).df.count()
 
 mode = sys.argv[4] if len(sys.argv) > 4 else "classic"
 if mode == "hist":
@@ -104,7 +104,7 @@ if mode == "hist":
                       "pairs_per_sec": round(n / wall, 1)}))
 else:
     t0 = time.time()
-    pairs = build_scored_pairs(spark, dfa, dfb, cfg, attach_strings=False)
+    pairs = build_scored_pairs(spark, dfa, dfb, cfg, attach_strings=False).df
     n = pairs.count()
     wall = time.time() - t0
     print(json.dumps({"cpus": cpus, "pairs": n, "wall_s": round(wall, 3),

@@ -16,7 +16,7 @@ def test_pipeline_two_runs_identical(spark):
     cfg = LinkConfig(by="full_name", blocking_keys=["city"])
 
     def run():
-        pairs = build_scored_pairs(spark, dfa, dfb, cfg)
+        pairs = build_scored_pairs(spark, dfa, dfb, cfg).df
         scored, _m = fit_and_score(pairs, cfg)
         return sorted(
             map(tuple, scored.select(

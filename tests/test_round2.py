@@ -189,11 +189,11 @@ def test_checkpoint_invalidates_on_new_input(spark, tmp_path):
                      work_dir=str(tmp_path / "wd"))
     r1 = build_scored_pairs(
         spark, spark.read.parquet(src + "/a1"), spark.read.parquet(src + "/b1"), cfg
-    )
+    ).df
     keys1 = {r["A"] for r in r1.select("A").collect()}
     r2 = build_scored_pairs(
         spark, spark.read.parquet(src + "/a2"), spark.read.parquet(src + "/b2"), cfg
-    )
+    ).df
     keys2 = {r["A"] for r in r2.select("A").collect()}
     assert keys1 and keys2
     assert keys1.isdisjoint(keys2)  # r2 must NOT be a resumed copy of r1
@@ -216,7 +216,7 @@ def test_twopass_matches_classic(spark):
     dfb = docs.where(side == 1).select(key, "lang", "doc_id")
     cfg = LinkConfig(by="name", blocking_keys=["lang"], embedding_dim=64)
 
-    pairs = build_scored_pairs(spark, dfa, dfb, cfg)
+    pairs = build_scored_pairs(spark, dfa, dfb, cfg).df
     scored, _model = fit_and_score(pairs, cfg)
     cut = expected_f1_cutoff(scored, bins=cfg.cutoff_bins)
     classic = {(r["A"], r["B"])

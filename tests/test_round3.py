@@ -98,7 +98,7 @@ def test_voters_rf_numeric_ir_no_strings(spark):
 
     dfa, dfb, _gold = voters(spark, n_base=120, seed=5)
     cfg = LinkConfig(by="full_name", blocking_keys=["city"], learner="rf")
-    pairs = build_scored_pairs(spark, dfa, dfb, cfg, attach_strings=False)
+    pairs = build_scored_pairs(spark, dfa, dfb, cfg, attach_strings=False).df
     assert "A" not in pairs.columns  # pure numeric IR
     # an unsupervised rf has no labels -> both-classes guard must fire;
     # seed labels from the exact flag alone are one-class

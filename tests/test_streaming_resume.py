@@ -65,13 +65,13 @@ def test_checkpoint_resume_identical(spark, tmp_path):
                      work_dir=str(tmp_path / "work"))
 
     ckpt1 = CheckpointManager(spark, cfg.work_dir, resume=True)
-    out1 = build_scored_pairs(spark, dfa, dfb, cfg, ckpt=ckpt1)
+    out1 = build_scored_pairs(spark, dfa, dfb, cfg, ckpt=ckpt1).df
     rows1 = sorted(map(tuple, out1.select("A", "B", "block_key").collect()))
     assert all(not r["resumed"] for r in ckpt1.runs)
 
     # second run resumes from the persisted stage outputs
     ckpt2 = CheckpointManager(spark, cfg.work_dir, resume=True)
-    out2 = build_scored_pairs(spark, dfa, dfb, cfg, ckpt=ckpt2)
+    out2 = build_scored_pairs(spark, dfa, dfb, cfg, ckpt=ckpt2).df
     rows2 = sorted(map(tuple, out2.select("A", "B", "block_key").collect()))
     assert rows1 == rows2
     pair_runs = [r for r in ckpt2.runs if r["stage"] == "pairs"]
