@@ -663,13 +663,19 @@ def _q_o3_weighted_sample(spark, sf):
 
 
 def _q_minhash_lsh(spark, sf):
+    """MinHash-LSH banded bucket join — HARD-oracled (round 5) via the
+    engine-portable signature family: 8 mod-p hashes, 4 bands x 2 rows,
+    ':'-joined string band keys; DuckDB reproduces signatures with
+    list_reduce, band keys with string_agg, and the same bounded
+    self-join. The production 2^64 rolling-hash variant
+    (lsh_candidate_pairs) stays pytest- and bench-covered (q3)."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
-    from fuzzylink_spark.operators.dedup import lsh_candidate_pairs
-    docs = _t(spark, sf, "documents")
-    return lsh_candidate_pairs(docs, num_hashes=32, bands=16, shingle=5)
+    from fuzzylink_spark.operators.dedup import lsh_candidate_pairs_portable
+    docs = _t(spark, sf, "documents").where(F.length("text") >= 5)
+    return lsh_candidate_pairs_portable(docs, bands=4, shingle=5)
 
 
 def _q_simhash(spark, sf):
@@ -821,13 +827,16 @@ def _q_neardup_cc_rep(spark, sf):
 
 
 def _q_twopass_parity(spark, sf):
-    """Cross-plan invariant for the flagship 10^12-pair plan: the classic
-    (pair-table) and two-pass (histogram-first) pipelines may disagree
-    ONLY by calibrator quantization near their cutoffs. Two hard-checkable
-    aggregates: exact-match pairs are accepted by BOTH plans always
-    (n_exact_symdiff = 0 — they bypass the calibrator), and the total
-    symmetric difference is within 1% of the accepted set (within_bound).
-    The oracle is the literal expected row — any violation hash-fails."""
+    """Cross-plan VALUE oracle for the flagship 10^12-pair plan (round-5
+    hardening of the r4 invariant): the classic (pair-table) and two-pass
+    (histogram-first) pipelines may disagree ONLY by calibrator
+    quantization near their cutoffs. The query emits the RAW counts —
+    n_exact_symdiff (exact pairs bypass the calibrator: always 0), n_sym
+    (total symmetric difference), n_max (larger accepted set) — and the
+    oracle pins the literal values measured at sf0.01, so ANY drift in
+    either plan (IR precision, calibrator, cutoff search) shows up as a
+    value change instead of being re-derived inside the query under test
+    (r4 ADVICE: the within_bound boolean was self-certifying)."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
@@ -858,10 +867,9 @@ def _q_twopass_parity(spark, sf):
     n_sym = sym.count()
     n_exact_sym = sym.where(F.col("exact")).count()
     n_max = max(acc_c.count(), acc_t.count(), 1)
-    ok = bool(n_sym <= max(5, 0.01 * n_max))
     return spark.createDataFrame(
-        [(int(n_exact_sym), ok)],
-        "n_exact_symdiff long, within_bound boolean",
+        [(int(n_exact_sym), int(n_sym), int(n_max))],
+        "n_exact_symdiff long, n_sym long, n_max long",
     )
 
 
@@ -880,16 +888,27 @@ def _q_o2_uniform_sample(spark, sf):
 
 
 def _q_near_dup_dedup(spark, sf):
-    """One-call near-duplicate dedup (LSH recall -> exact shingle-Jaccard
-    verify -> connected components -> min-id representative)."""
+    """One-call near-duplicate dedup, END-TO-END HARD-oracled (round 5):
+    portable MinHash-LSH recall (4x2 band join, reproducible in SQL) ->
+    exact 5-gram shingle-Jaccard >= 0.7 verify -> connected components ->
+    min-id representative. The DuckDB oracle replays every stage:
+    list_reduce signatures -> band self-join -> list set-algebra Jaccard
+    -> WITH RECURSIVE transitive closure -> group-by representative."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
-    from fuzzylink_spark.operators.dedup import near_dup_dedup
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
-    out = near_dup_dedup(docs, jaccard_threshold=0.7, num_hashes=32, bands=16)
-    return out.select("doc_id", F.col("n_dupes").cast("long").alias("n_dupes"))
+    from fuzzylink_spark.operators.dedup import (
+        lsh_candidate_pairs_portable,
+        near_dup_dedup,
+    )
+    docs = _t(spark, sf, "documents").where(F.length("text") >= 5).select(
+        "doc_id", "text")
+    cand = lsh_candidate_pairs_portable(docs, bands=4, shingle=5)
+    out = near_dup_dedup(docs, jaccard_threshold=0.7, shingle=5,
+                         candidates=cand)
+    return out.select("doc_id", "dup_cluster",
+                      F.col("n_dupes").cast("long").alias("n_dupes"))
 
 
 def _q_mutual_best(spark, sf):
@@ -1022,7 +1041,10 @@ def _q_twopass_al_accepted(spark, sf):
         F.col("name").alias("a_name"),
         F.concat(F.substring("name", 1, 28), F.lit(" jr")).alias("b_name"),
     )
-    cfg = LinkConfig(by="name", learner="logit", max_labels=500,
+    # max_labels=250 (was 500): the separable fixture converges in the
+    # first refits — fewer AL rounds, same 80-pair accepted set (r4
+    # verdict #3: keep the board's slowest fixtures cheap)
+    cfg = LinkConfig(by="name", learner="logit", max_labels=250,
                      initial_train_n=100, al_batch=50, embedding_dim=128)
     res = fuzzylink_twopass(spark, dfa, dfb, by="name", config=cfg,
                             labeler=GoldLabeler(gold))
@@ -1045,7 +1067,27 @@ def _q_em_mixture(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver runs entries in dict order and has
+    # truncated the tail before (r4 lost the last three) — flagship and
+    # newest entries run FIRST; the cheap long-tail operator checks and
+    # the slower rows-only fixtures run last, so a budget cut costs the
+    # least-informative rows.
     return {
+        # flagship + round-4/5 hard oracles, and the three entries the r4
+        # driver truncated (verdict #3: first ten)
+        "twopass_parity": _q_twopass_parity,      # pinned-count value oracle (round 5)
+        "exact_substring_pairs": _q_exact_substring_pairs,
+        "twopass_al_accepted": _q_twopass_al_accepted,
+        "neardup_pairwise_f1": _q_neardup_pairwise_f1,
+        "minhash_lsh_pairs": _q_minhash_lsh,      # portable band join (HARD, round 5)
+        "near_dup_dedup": _q_near_dup_dedup,      # end-to-end HARD (round 5)
+        "neardup_cc_rep": _q_neardup_cc_rep,      # verify+CC+rep oracle (round 4)
+        "minhash_portable_sig": _q_minhash_portable,  # mod-p oracle (round 4)
+        "connected_components": _q_connected_components,  # WITH RECURSIVE oracle
+        "doc_fingerprint": _q_fingerprint,        # lex-min oracle (round 4)
+        "levenshtein_pairs": _q_levenshtein_pairs,  # builtin-lv oracle (round 4)
+        "winnowing_fingerprints": _q_winnowing_fp,
+        # pipeline-stage + function hard oracles (cheap, stable)
         "p1_na_drop": _q_p1_na_drop,
         "p2_distinct_union": _q_p2_distinct_union,
         "p3_distinct_blocks": _q_p3_distinct_blocks,
@@ -1065,7 +1107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stop_ratio": _q_quality,
         "jw_pairs": _q_jw_pairs,
         "qgram_jaccard1": _q_qgram_jaccard1,
-        "winnowing_fingerprints": _q_winnowing_fp,
         "cosine_topk": _q_cosine_topk,
         "soundex_neq": _q_soundex_neq,
         "p4_pairwise_distinct": _q_p4_pairwise_distinct,
@@ -1076,16 +1117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_logistic_score": _q_m3_logistic_score,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "lang_id": _q_lang_id,
-        "connected_components": _q_connected_components,  # WITH RECURSIVE oracle
-        "doc_fingerprint": _q_fingerprint,        # lex-min oracle (round 4)
-        "levenshtein_pairs": _q_levenshtein_pairs,  # builtin-lv oracle (round 4)
-        "minhash_portable_sig": _q_minhash_portable,  # mod-p oracle (round 4)
-        "neardup_cc_rep": _q_neardup_cc_rep,      # verify+CC+rep oracle (round 4)
-        "twopass_parity": _q_twopass_parity,      # cross-plan invariant (round 4)
+        "mutual_best_1to1": _q_mutual_best,
         # rows-only (iterative / hash-function-specific; no ANSI-SQL oracle)
         "lexical_features": _q_lexical_features,
         "o3_weighted_sample": _q_o3_weighted_sample,
-        "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1094,12 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_learning_accepted": _q_active_learning,
         "twopass_accepted": _q_twopass_accepted,
         "o2_uniform_sample": _q_o2_uniform_sample,
-        "near_dup_dedup": _q_near_dup_dedup,
-        "mutual_best_1to1": _q_mutual_best,
         "ivf_ann_topk": _q_ivf_topk,
-        "neardup_pairwise_f1": _q_neardup_pairwise_f1,
-        "twopass_al_accepted": _q_twopass_al_accepted,
-        "exact_substring_pairs": _q_exact_substring_pairs,
     }
 
 
@@ -1528,15 +1558,130 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dupes
             FROM asg GROUP BY dup_cluster
         """,
+        # round 5: the raw cross-plan counts, PINNED to the values measured
+        # at sf0.01 — any drift in either plan (IR precision, calibrator,
+        # cutoff search) hash-fails instead of being re-certified by a
+        # boolean computed inside the query under test. n_exact_symdiff=0
+        # is structural (exact pairs bypass the calibrator); n_sym/n_max
+        # are deterministic engine outputs (re-pin + CHANGELOG note in
+        # BENCH/BASELINE.md whenever an IR/precision change moves them).
         "twopass_parity": """
             SELECT CAST(0 AS BIGINT) AS n_exact_symdiff,
-                   CAST(1 AS BOOLEAN) AS within_bound
+                   CAST(0 AS BIGINT) AS n_sym,
+                   CAST(524 AS BIGINT) AS n_max
+        """,
+        # round 5: the full LSH band join under a value oracle — portable
+        # signatures (same CTEs as minhash_portable_sig) -> per-band
+        # string keys -> bounded bucket self-join, exactly the Spark plan
+        "minhash_lsh_pairs": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+              WHERE length(text) >= 5
+            ), hs AS (
+              SELECT doc_id, list_transform(
+                range(1, length(t) - 3),
+                i -> list_reduce(
+                       list_transform(range(0, 5),
+                         j -> CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 2147483647)) AS ghs
+              FROM g
+            ), sig AS (
+              SELECT doc_id, c.i AS hash_idx,
+                     list_aggregate(list_transform(
+                       ghs, h -> (c.a * h + c.b) % 2147483647), 'min') AS mh
+              FROM hs CROSS JOIN (VALUES
+                (0, 1664525, 1013904223), (1, 22695477, 1), (2, 69069, 362437),
+                (3, 1103515245, 12345), (4, 134775813, 1), (5, 214013, 2531011),
+                (6, 16807, 0), (7, 48271, 11)) AS c(i, a, b)
+            ), bk AS (
+              SELECT doc_id, CAST(hash_idx // 2 AS INT) AS band,
+                     string_agg(CAST(mh AS VARCHAR), ':' ORDER BY hash_idx) AS bucket
+              FROM sig GROUP BY doc_id, CAST(hash_idx // 2 AS INT)
+            ), bsz AS (
+              SELECT band, bucket, count(*) AS n FROM bk GROUP BY band, bucket
+            ), bounded AS (
+              SELECT bk.doc_id, bk.band, bk.bucket
+              FROM bk JOIN bsz USING (band, bucket) WHERE bsz.n <= 1000
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bounded x JOIN bounded y
+              ON x.band = y.band AND x.bucket = y.bucket
+            WHERE x.doc_id < y.doc_id
+        """,
+        # round 5: near_dup_dedup END-TO-END — portable LSH recall ->
+        # exact shingle-set Jaccard >= 0.7 verify -> WITH RECURSIVE
+        # transitive closure -> min-id representative + cluster size
+        "near_dup_dedup": """
+            WITH RECURSIVE g AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+              WHERE length(text) >= 5
+            ), hs AS (
+              SELECT doc_id, list_transform(
+                range(1, length(t) - 3),
+                i -> list_reduce(
+                       list_transform(range(0, 5),
+                         j -> CAST(unicode(substr(t, CAST(i + j AS INT), 1)) AS BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 2147483647)) AS ghs
+              FROM g
+            ), sig AS (
+              SELECT doc_id, c.i AS hash_idx,
+                     list_aggregate(list_transform(
+                       ghs, h -> (c.a * h + c.b) % 2147483647), 'min') AS mh
+              FROM hs CROSS JOIN (VALUES
+                (0, 1664525, 1013904223), (1, 22695477, 1), (2, 69069, 362437),
+                (3, 1103515245, 12345), (4, 134775813, 1), (5, 214013, 2531011),
+                (6, 16807, 0), (7, 48271, 11)) AS c(i, a, b)
+            ), bk AS (
+              SELECT doc_id, CAST(hash_idx // 2 AS INT) AS band,
+                     string_agg(CAST(mh AS VARCHAR), ':' ORDER BY hash_idx) AS bucket
+              FROM sig GROUP BY doc_id, CAST(hash_idx // 2 AS INT)
+            ), bsz AS (
+              SELECT band, bucket, count(*) AS n FROM bk GROUP BY band, bucket
+            ), bounded AS (
+              SELECT bk.doc_id, bk.band, bk.bucket
+              FROM bk JOIN bsz USING (band, bucket) WHERE bsz.n <= 1000
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bounded x JOIN bounded y
+                ON x.band = y.band AND x.bucket = y.bucket
+              WHERE x.doc_id < y.doc_id
+            ), sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, length(t) - 3),
+                i -> substr(t, CAST(i AS INT), 5))) AS gs
+              FROM g
+            ), ver AS (
+              SELECT c.a, c.b FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b
+              WHERE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(sa.gs, sb.gs))), 1)
+                    >= 0.7
+            ), sym AS (
+              SELECT a AS src, b AS dst FROM ver
+              UNION
+              SELECT b AS src, a AS dst FROM ver
+            ), reach(id, r) AS (
+              SELECT src AS id, src AS r FROM sym
+              UNION
+              SELECT reach.id, sym.dst AS r
+              FROM reach JOIN sym ON sym.src = reach.r
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ), asg AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS dup_cluster
+              FROM g d LEFT JOIN comp c ON d.doc_id = c.id
+            )
+            SELECT min(doc_id) AS doc_id, dup_cluster, count(*) AS n_dupes
+            FROM asg GROUP BY dup_cluster
         """,
         # lexical_features: DuckDB lacks OSA/LCS/q-gram counterparts
         # (its damerau_levenshtein is the UNRESTRICTED variant, not OSA)
         # o2/o3 samples: seeded-rand sampling, engine-specific
-        # minhash_lsh/simhash/near_dup_dedup/em_mixture/twopass_accepted/
-        # active_learning: rows-only (iterative or 2^64-hash-specific);
-        # their oracle-able counterparts are minhash_portable_sig,
-        # neardup_cc_rep, twopass_parity, connected_components above
+        # simhash/em_mixture/twopass_accepted/active_learning: rows-only
+        # (iterative or 2^64-hash-specific); their oracle-able
+        # counterparts are minhash_portable_sig, minhash_lsh_pairs,
+        # near_dup_dedup, neardup_cc_rep, twopass_parity,
+        # connected_components above
     }

@@ -160,6 +160,64 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    bands: int = 4,
+    shingle: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over the ENGINE-PORTABLE signature
+    family (``minhash_portable_udf``: mod-p polynomial char-gram hash +
+    8 LCG permutations, every intermediate < 2^62) — same banded
+    bucket-equi-join shape as the production ``lsh_candidate_pairs``, but
+    every number is reproducible in ANSI SQL, so the whole band join is
+    hard-oracle-able (DuckDB: list_transform/list_reduce signatures →
+    string band keys → self-join). Bucket key is the ':'-joined row
+    values of the band (a plain string equi-join key; the production
+    variant xxhash64-compresses it, which is an engine-specific detail).
+
+    ``bands`` must divide 8 (the portable family size). Same
+    ``max_bucket`` bound as production: buckets holding more than this
+    many docs are dropped (boilerplate guard — a 10^6-doc bucket is
+    10^12 intra-bucket pairs)."""
+    if 8 % bands != 0:
+        raise ValueError(f"bands={bands} must divide the 8-hash portable family")
+    rows = 8 // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_portable_udf(shingle=shingle)(F.lower(F.col(content_col))).alias("s"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ":", F.slice(F.col("s"), b * rows + 1, rows)
+                        .cast("array<string>")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    bounded = banded.join(
+        bucket_sizes.where(F.col("_bsz") <= max_bucket), ["band", "bucket"]
+    )
+    left = bounded.select("band", "bucket", F.col(id_col).alias("a"))
+    right = bounded.select("band", "bucket", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def lsh_bucket_star_edges(
     df: DataFrame,
     id_col: str = "doc_id",
