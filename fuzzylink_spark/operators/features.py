@@ -216,6 +216,63 @@ _EMPTY_ACCEPT = _EMPTY_MELT.assign(
 _EMPTY_BAND = _EMPTY_ACCEPT.assign(accepted=pd.Series([], dtype="bool"))
 
 
+def _gemm_melt_arrow_factory(encoder):
+    """Arrow-native variant of the PLAIN melt kernel (accept=None,
+    in-tile encoder path): identical tile math, but the output is built
+    as a ``pyarrow.Table`` directly from the kernel's numpy arrays
+    (zero-copy for every numeric column) and shipped through
+    ``applyInArrow`` — no pandas hop on the way out.
+
+    Measured on the zero-compute melt probe (scripts/melt_probe.py,
+    96M rows, pinned): the Arrow kernel with 512k-row batches is the only
+    variant whose T_32 beats T_8 (12.7s vs 13.3s; the pandas kernel is
+    13.2 vs 12.6) — a marginal but real widening of the single-JVM decode
+    wall the r4 decomposition identified. The same probe's packed-blob
+    mode (1 row / 128k pairs) runs 3x faster outright, but consuming
+    blobs requires in-kernel aggregation — which IS the two-pass plan;
+    at 10^12 pairs use ``fuzzylink_twopass``, not the classic melt."""
+    import pyarrow as pa
+
+    empty = pa.table({
+        "block_id": pa.array([], type=pa.int32()),
+        "a_id": pa.array([], type=pa.int64()),
+        "b_id": pa.array([], type=pa.int64()),
+        "sim": pa.array([], type=pa.float32()),
+        "jw": pa.array([], type=pa.float32()),
+        "exact": pa.array([], type=pa.bool_()),
+    })
+
+    def _melt(key, a_tbl: "pa.Table", b_tbl: "pa.Table") -> "pa.Table":
+        na, nb = a_tbl.num_rows, b_tbl.num_rows
+        if na == 0 or nb == 0:
+            return empty
+        a_keys = a_tbl.column("key").to_pylist()
+        b_keys = b_tbl.column("key").to_pylist()
+        A = encoder(a_keys)
+        B = encoder(b_keys)
+        sims = (A @ B.T).ravel()  # float32, the GEMM's native precision
+        jw = jaro_winkler_cross(
+            [k.lower() for k in a_keys], [k.lower() for k in b_keys]
+        ).ravel().astype(np.float32)
+        a_ci = a_tbl.column("ci").to_numpy(zero_copy_only=False)
+        b_ci = b_tbl.column("ci").to_numpy(zero_copy_only=False)
+        exact = np.repeat(a_ci, nb) == np.tile(b_ci, na)
+        n = na * nb
+        return pa.table({
+            "block_id": pa.array(
+                np.full(n, int(key[0].as_py()), dtype=np.int32)),
+            "a_id": pa.array(np.repeat(
+                a_tbl.column("id").to_numpy(zero_copy_only=False), nb)),
+            "b_id": pa.array(np.tile(
+                b_tbl.column("id").to_numpy(zero_copy_only=False), na)),
+            "sim": pa.array(sims),
+            "jw": pa.array(jw),
+            "exact": pa.array(exact),
+        })
+
+    return _melt
+
+
 def _hist_kernel_factory(encoder, bins: int, lo: float, hi: float):
     """Per-cell kernel for pass 1 of the two-pass plan: emit the tile's
     2-D (sim, jw) histogram of NON-exact pairs — <= bins^2 rows per tile
@@ -437,6 +494,7 @@ def cogrouped_pair_features(
     accept=None,
     band=None,
     salt_plan: DataFrame | None = None,
+    arrow_melt: bool = True,
 ) -> DataFrame:
     """Candidate generation + cosine + JW in ONE cogrouped Arrow pass,
     emitting the NUMERIC pair IR (block_id, a_id, b_id, sim, jw, exact).
@@ -463,6 +521,14 @@ def cogrouped_pair_features(
         raise ValueError("band emission requires accept=(posterior_fn, cutoff)")
     cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
                           max_salt, case_insensitive, salt_plan=salt_plan)
+    if accept is None and encoder is not None and arrow_melt:
+        # plain melt on the in-tile-encoder path: Arrow-native kernel
+        # (pa.Table out of the numpy arrays, no pandas hop) — same values
+        # bit-for-bit (pytest parity), slightly wider through the
+        # single-JVM decode wall (see _gemm_melt_arrow_factory). The
+        # accept/band kernels emit few rows; decode is not their limiter.
+        return cg.applyInArrow(_gemm_melt_arrow_factory(encoder),
+                               schema=PAIR_IR_SCHEMA)
     schema = (PAIR_IR_SCHEMA if accept is None
               else (ACCEPT_IR_SCHEMA if band is None else BAND_IR_SCHEMA))
     return cg.applyInPandas(_gemm_melt_factory(encoder, accept, band),

@@ -55,11 +55,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the melt emits up to pair_budget (250k) fixed-width rows per
-        # tile: 128k-row Arrow batches cut the per-batch JVM hand-off
-        # count ~13x vs the 10k default at ~5 MB a batch (measured in the
-        # 8->32 scaling decomposition's non-kernel slice)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # the melt emits up to pair_budget (250k-1M) fixed-width rows per
+        # tile: 512k-row Arrow batches (~15 MB at 29 B/pair) cut the
+        # per-batch JVM hand-off count ~50x vs the 10k default; the r5
+        # melt probe measured 512k as the best decode width at local[32]
+        # (scripts/melt_probe.py: 12.7s vs 13.5s for 128k on 96M rows)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "524288")
         # free pandas-side Arrow buffers eagerly inside cogroup kernels
         .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -28,7 +28,7 @@ REPO = "/root/repo"
 
 WORKER = r'''
 import json, sys, time
-sys.path.insert(0, "%(repo)s")
+sys.path.insert(0, "@REPO@")
 import numpy as np, pandas as pd, pyarrow as pa
 from fuzzylink_spark.session import get_spark
 
@@ -85,7 +85,7 @@ t0 = time.time(); cnt = res.count(); wall = time.time() - t0
 print(json.dumps({"cpus": cpus, "mode": mode, "batch": int(batch),
                   "rows": int(cnt), "wall_s": round(wall, 2),
                   "mrows_per_s": round(96.0 / wall, 1)}))
-''' % {"repo": REPO}
+'''.replace("@REPO@", REPO)
 
 
 def run(cpus: int, mode: str, batch: str) -> dict:
