@@ -584,22 +584,66 @@ def _perturbed_copy(base, noise_scale: float, seed: int):
     )
 
 
+def _portable_norm(vec_col):
+    """Left-fold float64 L2 normalize: x / sqrt(fold(0.0, x*x)). Every
+    step (cast, fold order, sqrt, divide) is IEEE-defined, so DuckDB's
+    list_reduce replica is bit-identical."""
+    from fuzzylink_spark.operators.similarity_search import _fold_dot
+
+    e = F.transform(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                    lambda x: x.cast("double"))
+    return F.transform(e, lambda x: x / F.sqrt(_fold_dot(e, e)))
+
+
+def _perturbed_copy_portable(base, noise_scale: float, seed: int):
+    """Engine-portable near-duplicate: per-dimension zero-mean noise from
+    the same pure-int64 LCG family as portable_table_buckets (all
+    intermediates < 2^62 — any engine replays it exactly), then a
+    left-fold float64 re-normalize. Replaces xxhash64 (engine-specific)
+    in the oracle-backed construction."""
+    from fuzzylink_spark.operators.similarity_search import (
+        PORTABLE_LCG_A, PORTABLE_LCG_C, PORTABLE_LCG_P)
+
+    idx = F.sequence(F.lit(0).cast("long"),
+                     (F.size("embedding") - 1).cast("long"))
+    k = (F.col("vec_id") * F.lit(100003))
+    noised = F.zip_with(
+        F.col("embedding"), idx,
+        lambda x, i: x + F.lit(noise_scale) * (
+            ((F.lit(PORTABLE_LCG_A) * (k + i * F.lit(211) + F.lit(seed))
+              + F.lit(PORTABLE_LCG_C)) % F.lit(PORTABLE_LCG_P) % F.lit(1000))
+            / F.lit(500.0) - F.lit(1.0)
+        ),
+    )
+    # rename in a SEPARATE select: a same-select alias would shadow the
+    # input vec_id inside `noised` via Spark 4's lateral column alias
+    # resolution (k jumps to ~1e11 and the LCG multiply overflows int64)
+    out = base.select("vec_id", _portable_norm(noised).alias("embedding"))
+    return out.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                      "embedding")
+
+
 def _q_embedding_near_dup(spark, sf):
     """Plants PERTURBED near-duplicates (cosine ~0.95-0.98, not identical)
-    so the banded-LSH recall is actually exercised; the companion pytest
-    asserts recall >= 0.9 on the same construction."""
+    so the banded-LSH recall is actually exercised. Round 5: the whole
+    construction — LCG noise, float64 left-fold normalize, LCG ±1
+    sign-LSH planes, exact cosine verify — is engine-portable, so the
+    DuckDB oracle replays it bit-identically (hard value oracle; the
+    xxhash64-seeded production variant stays pytest-covered)."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
-    from fuzzylink_spark.operators.similarity_search import embedding_near_dup_pairs, l2_normalize_col
+    from fuzzylink_spark.operators.similarity_search import (
+        embedding_near_dup_portable)
     base = _t(spark, sf, "embeddings").select(
-        "vec_id", l2_normalize_col("embedding").alias("embedding")
+        "vec_id", _portable_norm("embedding").alias("embedding")
     )
-    dups = _perturbed_copy(base.where(F.col("vec_id") % 10 == 0),
-                           noise_scale=0.035, seed=17)
+    dups = _perturbed_copy_portable(base.where(F.col("vec_id") % 10 == 0),
+                                    noise_scale=0.035, seed=17)
     emb = base.unionByName(dups)
-    return embedding_near_dup_pairs(emb, threshold=0.9, tables=4, planes=6).select("a", "b")
+    return embedding_near_dup_portable(emb, threshold=0.9, tables=4,
+                                       planes=6)
 
 
 def _q_multimodal_features(spark, sf):
@@ -1676,6 +1720,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, dup_cluster, count(*) AS n_dupes
             FROM asg GROUP BY dup_cluster
         """,
+        # round 5: the embedding near-dup self-join under an EXACT value
+        # oracle — LCG noise + float64 left-fold normalize + LCG +/-1
+        # sign-LSH planes + left-fold cosine are all IEEE/int64-defined,
+        # so this SQL replays the Spark plan bit-identically (see
+        # similarity_search.embedding_near_dup_portable)
+        "embedding_near_dup": """
+            WITH raw AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), nrm AS (
+              SELECT vec_id, list_transform(e,
+                       x -> x / sqrt(list_reduce(list_transform(e, y -> y * y),
+                                                 (acc, yy) -> acc + yy))) AS e
+              FROM raw
+            ), dup0 AS (
+              -- noise references the ORIGINAL vec_id; the +1000000 rename
+              -- happens in a separate projection so no engine's lateral
+              -- column alias rule can shadow it (Spark-side mirror:
+              -- _perturbed_copy_portable)
+              SELECT vec_id,
+                     list_transform(range(0, len(e)), i ->
+                       e[CAST(i + 1 AS INT)] + 0.035 * (
+                         CAST(((1103515245 * (vec_id * 100003 + i * 211 + 17) + 12345)
+                               % 2147483647) % 1000 AS DOUBLE) / 500.0 - 1.0)) AS e
+              FROM nrm WHERE vec_id % 10 = 0
+            ), dup AS (
+              SELECT vec_id + 1000000 AS vec_id, e FROM dup0
+            ), dupn AS (
+              SELECT vec_id, list_transform(e,
+                       x -> x / sqrt(list_reduce(list_transform(e, y -> y * y),
+                                                 (acc, yy) -> acc + yy))) AS e
+              FROM dup
+            ), v AS (
+              SELECT * FROM nrm UNION ALL SELECT * FROM dupn
+            ), tp AS (
+              SELECT t.range AS t, p.range AS p FROM range(0, 4) t CROSS JOIN range(0, 6) p
+            ), pr AS (
+              SELECT v.vec_id, tp.t, tp.p,
+                list_reduce(list_transform(range(0, len(v.e)), d ->
+                  v.e[CAST(d + 1 AS INT)] *
+                  (CASE WHEN ((1103515245 * (tp.t * 100003 + tp.p * 211 + d) + 12345)
+                              % 2147483647) % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+                  (acc, x) -> acc + x) AS proj
+              FROM v CROSS JOIN tp
+            ), bk AS (
+              SELECT vec_id, t * 64 + CAST(sum(CASE WHEN proj > 0
+                                               THEN (1 << CAST(p AS INT)) ELSE 0 END)
+                                           AS BIGINT) AS bucket
+              FROM pr GROUP BY vec_id, t
+            ), cand AS (
+              SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            ), sc AS (
+              SELECT a, b,
+                list_reduce(list_transform(range(0, len(va.e)), d ->
+                    va.e[CAST(d + 1 AS INT)] * vb.e[CAST(d + 1 AS INT)]),
+                  (acc, x) -> acc + x)
+                / (sqrt(list_reduce(list_transform(va.e, y -> y * y), (acc, yy) -> acc + yy))
+                   * sqrt(list_reduce(list_transform(vb.e, y -> y * y), (acc, yy) -> acc + yy)))
+                  AS cos
+              FROM cand JOIN v va ON va.vec_id = cand.a JOIN v vb ON vb.vec_id = cand.b
+            )
+            SELECT a, b, round(cos, 6) AS score FROM sc WHERE cos >= 0.9
+        """,
         # lexical_features: DuckDB lacks OSA/LCS/q-gram counterparts
         # (its damerau_levenshtein is the UNRESTRICTED variant, not OSA)
         # o2/o3 samples: seeded-rand sampling, engine-specific
@@ -1683,5 +1791,5 @@ def oracle_sql() -> dict[str, str]:
         # (iterative or 2^64-hash-specific); their oracle-able
         # counterparts are minhash_portable_sig, minhash_lsh_pairs,
         # near_dup_dedup, neardup_cc_rep, twopass_parity,
-        # connected_components above
+        # embedding_near_dup, connected_components above
     }

@@ -355,3 +355,108 @@ def embedding_near_dup_pairs(
         .where(F.col("score") >= threshold)
         .select("a", "b", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable sign-LSH (round 5): the hyperplanes are ±1 vectors drawn
+# from a pure-int64 LCG formula instead of a seeded Gaussian RNG, and every
+# float operation (cast to float64, LEFT-FOLD sums, sqrt, divide) has one
+# IEEE-754-defined result — so ANY engine replays buckets, candidates, and
+# cosines BIT-IDENTICALLY. This moves the near-dup self-join from a
+# rows-only check to an exact DuckDB value oracle (same role
+# minhash_portable_udf plays for MinHash, dedup.py:857). Recall of a ±1
+# (Rademacher) plane matches the Gaussian one in expectation — collision
+# probability is still 1 - theta/pi in the random-rotation sense — so the
+# production variant (`embedding_near_dup_pairs`) and this one differ only
+# in which random family seeds the planes.
+
+PORTABLE_LCG_A = 1103515245
+PORTABLE_LCG_C = 12345
+PORTABLE_LCG_P = 2147483647
+
+
+def _portable_sign(t: int, p: int, d) -> F.Column:
+    """±1.0 hyperplane weight for (table t, plane p, dim d): parity of an
+    LCG step on k = t*100003 + p*211 + d. Every intermediate < 2^60, exact
+    in int64 on any engine (DuckDB replica: the same expression verbatim)."""
+    k = F.lit(t * 100003 + p * 211) + d
+    lcg = (F.lit(PORTABLE_LCG_A) * k + F.lit(PORTABLE_LCG_C)) % F.lit(PORTABLE_LCG_P)
+    return F.when(lcg % F.lit(2) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _fold_dot(u, v) -> F.Column:
+    """Left-fold float64 dot product: aggregate(zip_with(u,v,*), 0.0, +).
+    The fold order is the array order, exactly DuckDB's
+    list_reduce((acc,x) -> acc+x) — identical IEEE rounding sequence,
+    bit-identical result."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def portable_table_buckets(vec_col, tables: int = 4, planes: int = 6) -> F.Column:
+    """array<long> of per-table sign-LSH bucket ids, pure Catalyst (no
+    Python in the plan): bucket_t = t*2^planes + sum_p [proj_{t,p} > 0]<<p
+    with proj a left-fold float64 sum of ±embedding[d]. Scan-local work,
+    O(tables*planes*dim) per row; the only shuffle is the downstream
+    bucket equi-join."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    e = F.transform(c, lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(0).cast("long"), (F.size(e) - 1).cast("long"))
+    out = []
+    for t in range(tables):
+        bucket = F.lit(t * (1 << planes)).cast("long")
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(e, idx, lambda x, d: x * _portable_sign(t, p, d)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bucket = bucket + F.when(proj > 0, F.lit(1 << p)
+                                     ).otherwise(F.lit(0)).cast("long")
+        out.append(bucket)
+    return F.array(*out)
+
+
+def embedding_near_dup_portable(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    tables: int = 4,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Engine-portable twin of ``embedding_near_dup_pairs``: banded
+    sign-LSH self-join -> exact float64 cosine verify -> DataFrame[a, b,
+    score] with cosine >= threshold, every number reproducible bit-exactly
+    in ANSI SQL (the DuckDB board oracle replays LCG planes, left-fold
+    projections, bucket join, and cosine verbatim — the comparison is
+    exact, not tolerance-based). Same 100 TB plan shape as the production
+    variant: scan-local bucketing, bounded bucket equi-join (max_bucket
+    drops degenerate directions), two hash joins for the verify."""
+    b = vectors.select(id_col, vec_col).withColumn(
+        "_bucket", F.explode(portable_table_buckets(vec_col, tables, planes)))
+    sizes = b.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    b = b.join(sizes.where(F.col("_n") <= max_bucket), "_bucket")
+    left = b.select("_bucket", F.col(id_col).alias("a"))
+    right = b.select("_bucket", F.col(id_col).alias("b"))
+    cand = (
+        left.join(right, "_bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    e64 = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vv = vectors.select(F.col(id_col).alias("_id"), e64.alias("_e"))
+    va = vv.select(F.col("_id").alias("a"), F.col("_e").alias("_va"))
+    vb = vv.select(F.col("_id").alias("b"), F.col("_e").alias("_vb"))
+    cos = _fold_dot(F.col("_va"), F.col("_vb")) / (
+        F.sqrt(_fold_dot(F.col("_va"), F.col("_va")))
+        * F.sqrt(_fold_dot(F.col("_vb"), F.col("_vb")))
+    )
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("_cos", cos)
+        .where(F.col("_cos") >= F.lit(threshold))
+        .select("a", "b", F.round("_cos", 6).alias("score"))
+    )

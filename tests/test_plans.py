@@ -64,5 +64,8 @@ def test_cogroup_partitioning_pinned(spark):
     cg = cogrouped_pair_features(u, u, encoder=lambda ks: embed_strings(ks, dim=32),
                                  pair_budget=1000)
     plan = cg._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    # round 5: the plain melt ships through the Arrow-native kernel
+    # (FlatMapCoGroupsInArrow); accept=... paths keep the pandas kernel
+    assert ("FlatMapCoGroupsInArrow" in plan
+            or "FlatMapCoGroupsInPandas" in plan)
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan
