@@ -723,13 +723,17 @@ def _q_minhash_lsh(spark, sf):
 
 
 def _q_simhash(spark, sf):
+    """Round 5: runs the engine-portable 62-bit SimHash band join (mod-p
+    token hashes + LCG bit coefficients, dedup.simhash62_portable_udf)
+    under a DuckDB value oracle; the crc32-vectorized production variant
+    (simhash_candidate_pairs) stays pytest-covered as the hot path."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
-    from fuzzylink_spark.operators.dedup import simhash_candidate_pairs
+    from fuzzylink_spark.operators.dedup import simhash_candidate_pairs_portable
     docs = _t(spark, sf, "documents")
-    return simhash_candidate_pairs(docs, max_hamming=3)
+    return simhash_candidate_pairs_portable(docs, max_hamming=8)
 
 
 def _q_connected_components(spark, sf):
@@ -1784,10 +1788,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, round(cos, 6) AS score FROM sc WHERE cos >= 0.9
         """,
+        # round 5: the SimHash band join under a value oracle — portable
+        # 62-bit sketch (mod-p polynomial token hash + LCG-derived bit
+        # coefficients, all exact int64) banded into 4 chunks, exact
+        # Hamming via bit_count (see dedup.simhash_candidate_pairs_portable)
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'),
+                       w -> length(w) > 0) AS ws
+              FROM documents
+            ), th AS (
+              SELECT doc_id, list_transform(ws, w ->
+                 list_reduce(
+                   list_transform(range(1, length(w) + 1),
+                     j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT)),
+                   (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+              FROM toks WHERE len(ws) > 0
+            ), jb AS (
+              SELECT range AS j,
+                     (((1103515245 * (range * 211 + 1) + 12345) % 2147483647) | 1) AS aj,
+                     ((1103515245 * (range * 313 + 7) + 12345) % 2147483647) AS bj
+              FROM range(0, 62)
+            ), votes AS (
+              SELECT th.doc_id, jb.j,
+                     list_reduce(list_transform(th.hs,
+                       h -> CASE WHEN ((jb.aj * h + jb.bj) % 2147483647) % 2 = 1
+                                 THEN 1 ELSE -1 END),
+                       (acc, x) -> acc + x) AS v
+              FROM th CROSS JOIN jb
+            ), sk AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                              ELSE 0 END) AS BIGINT) AS sk
+              FROM votes GROUP BY doc_id
+            ), bd AS (
+              SELECT doc_id, sk, c.chunk, (sk >> (c.chunk * 16)) & 65535 AS val
+              FROM sk CROSS JOIN (VALUES (0), (1), (2), (3)) c(chunk)
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.sk, y.sk)) AS hamming
+            FROM bd x JOIN bd y ON x.chunk = y.chunk AND x.val = y.val
+                                AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sk, y.sk)) <= 8
+        """,
         # lexical_features: DuckDB lacks OSA/LCS/q-gram counterparts
         # (its damerau_levenshtein is the UNRESTRICTED variant, not OSA)
         # o2/o3 samples: seeded-rand sampling, engine-specific
-        # simhash/em_mixture/twopass_accepted/active_learning: rows-only
+        # em_mixture/twopass_accepted/active_learning: rows-only
         # (iterative or 2^64-hash-specific); their oracle-able
         # counterparts are minhash_portable_sig, minhash_lsh_pairs,
         # near_dup_dedup, neardup_cc_rep, twopass_parity,

@@ -972,3 +972,89 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+def simhash62_portable_udf(p: int = PORTABLE_P):
+    """Series→Series pandas UDF: text -> engine-portable 62-bit SimHash
+    (signed long; NULL when the text has no tokens).
+
+    Same algorithm family as the production ``simhash64_udf`` (per-token
+    hash -> per-bit ±1 votes -> sign sketch) but every step is exact
+    int64 arithmetic ANY engine replays: token hash is the mod-p
+    polynomial codepoint fold ((acc*131 + cp) % p, the minhash_portable
+    gram hash over the whole token), bit j's universal hash uses LCG-
+    derived coefficients a_j|1, b_j, and the sketch keeps 62 bits so the
+    BIGINT shift never touches the sign bit. ~10x slower than the
+    crc32-vectorized production UDF — use it for oracles and parity
+    checks, not the 100 TB hot path."""
+    import re as _re
+
+    A, C = 1103515245, 12345
+    j = np.arange(62, dtype=np.int64)
+    aj = (((A * (j * 211 + 1) + C) % p) | 1)
+    bj = ((A * (j * 313 + 7) + C) % p)
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in _re.split(r"[ \t\n\r\f\v]+", (t or "").lower())
+                    if w]
+            if not toks:
+                out.append(None)
+                continue
+            hs = np.empty(len(toks), dtype=np.int64)
+            for ti, w in enumerate(toks):
+                acc = 0
+                for ch in w:
+                    acc = (acc * 131 + ord(ch)) % p
+                hs[ti] = acc
+            # (62, ntok): a_j*h < 2^62 — exact in int64
+            bits = ((aj[:, None] * hs[None, :] + bj[:, None]) % p) % 2
+            votes = (2 * bits - 1).sum(axis=1)
+            sk = 0
+            for jj in np.nonzero(votes > 0)[0]:
+                sk |= 1 << int(jj)
+            out.append(sk)
+        return pd.Series(out, dtype="object")
+
+    return _sh
+
+
+def simhash_candidate_pairs_portable(df: DataFrame, id_col: str = "doc_id",
+                                     content_col: str = "text",
+                                     max_hamming: int = 8) -> DataFrame:
+    """Engine-portable twin of ``simhash_candidate_pairs``: band the
+    62-bit portable sketch into 4 chunks (16/16/16/14 bits), equi-join
+    per chunk, exact Hamming filter via bit_count. Pigeonhole guarantees
+    completeness only to Hamming <= 3; above that both engines replay
+    the SAME banded recall, so the DuckDB value oracle stays exact.
+    Same 100 TB plan shape as the production variant: scan-local
+    sketching, bounded chunk equi-join, no all-pairs anywhere."""
+    sk = df.select(F.col(id_col),
+                   simhash62_portable_udf()(F.col(content_col)).alias("_sk"))
+    sk = sk.where(F.col("_sk").isNotNull())
+    banded = sk.select(
+        id_col, "_sk",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("_sk"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            ) for i in range(4)
+        ])).alias("c"),
+    ).select(id_col, "_sk", F.col("c.chunk").alias("chunk"),
+             F.col("c.val").alias("val"))
+    left = banded.select("chunk", "val", F.col(id_col).alias("a"),
+                         F.col("_sk").alias("_ska"))
+    right = banded.select("chunk", "val", F.col(id_col).alias("b"),
+                          F.col("_sk").alias("_skb"))
+    hamming = F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb")))
+    return (
+        left.join(right, ["chunk", "val"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

@@ -161,3 +161,31 @@ def test_embedding_near_dup_portable_recall_and_plan(spark):
                for v in [r["vec_id"] for r in planted.collect()])
     assert hits >= 0.9 * n_planted          # banding recall
     assert all(r["score"] >= 0.9 for r in got)
+
+
+def test_simhash_portable_invariants(spark):
+    """Round-5 portable SimHash: token-sequence-identical texts (same
+    tokens after lowercase + whitespace split) sketch to Hamming 0; a
+    heavily edited text does not collide at the tight threshold; empty
+    text is excluded (NULL sketch) rather than colliding at sketch 0."""
+    from fuzzylink_spark.operators.dedup import (
+        simhash62_portable_udf, simhash_candidate_pairs_portable)
+
+    docs = spark.createDataFrame(
+        [(1, "The  Quick\tBrown Fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox JUMPS over the lazy dog tonight"),
+         (3, "completely different content about spark shuffles and joins"),
+         (4, "   "),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    sk = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", simhash62_portable_udf()("text").alias("s")).collect()}
+    assert sk[1] == sk[2] and sk[1] is not None
+    assert sk[4] is None and sk[5] is None
+    assert 0 <= sk[1] < (1 << 62)
+
+    got = simhash_candidate_pairs_portable(docs, max_hamming=3).collect()
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in got}
+    assert pairs.get((1, 2)) == 0
+    assert not any(3 in p or 4 in p or 5 in p for p in pairs)
