@@ -1131,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_dedup": _q_near_dup_dedup,      # end-to-end HARD (round 5)
         "neardup_cc_rep": _q_neardup_cc_rep,      # verify+CC+rep oracle (round 4)
         "minhash_portable_sig": _q_minhash_portable,  # mod-p oracle (round 4)
+        "simhash_pairs": _q_simhash,              # portable 62-bit sketch (HARD, round 5)
+        "embedding_near_dup": _q_embedding_near_dup,  # portable sign-LSH (HARD, round 5)
         "connected_components": _q_connected_components,  # WITH RECURSIVE oracle
         "doc_fingerprint": _q_fingerprint,        # lex-min oracle (round 4)
         "levenshtein_pairs": _q_levenshtein_pairs,  # builtin-lv oracle (round 4)
@@ -1169,9 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (iterative / hash-function-specific; no ANSI-SQL oracle)
         "lexical_features": _q_lexical_features,
         "o3_weighted_sample": _q_o3_weighted_sample,
-        "simhash_pairs": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "em_mixture_posterior": _q_em_mixture,
         "active_learning_accepted": _q_active_learning,

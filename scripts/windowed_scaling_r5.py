@@ -1,0 +1,119 @@
+"""Greedy windowed round-5 headline scaling for a flapping host.
+
+The post-reboot host (BENCH/BASELINE.md round-5 environment note)
+oscillates between good epochs (hist rep8 @32 ~= 28-40 s) and
+kernel-time storms (60-250 s for the identical job) minute-to-minute.
+The tile-kernel CPU control does NOT detect the storm (silicon stays
+normal); only the Spark probe wall does. So every headline iteration is
+BRACKETED by probes:
+
+  1. probe until TWO consecutive quick probes (hist rep8 @32) clear
+     R5_WALL_TRIGGER seconds — a window is open;
+  2. run one full epoch-local interleaved iteration (tile controls,
+     classic rep8 @8/@32, hist rep24 @8/@32, back-to-back pinned JVMs);
+  3. probe once more — the post-probe certifies the window HELD.
+
+An iteration counts as GOOD when the pre-window held (by construction)
+and the post-probe also clears the trigger; every iteration (good or
+not) is appended to BENCH/scaling_r5.jsonl with its bracket walls so
+the analysis can filter storms instead of averaging over them.
+Stops after R5_GOOD_TARGET good iterations or R5_WATCH_HOURS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import scaling_bench as sb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH", "scaling_r5.jsonl")
+PROBE_LOG = os.path.join(REPO, "BENCH", "host_probe_r5.jsonl")
+
+TRIGGER = float(os.environ.get("R5_WALL_TRIGGER", "48"))
+GOOD_TARGET = int(os.environ.get("R5_GOOD_TARGET", "5"))
+MAX_HOURS = float(os.environ.get("R5_WATCH_HOURS", "4.5"))
+CLASSIC_REP = int(os.environ.get("R5_CLASSIC_REP", "8"))
+HIST_REP = int(os.environ.get("R5_HIST_REP", "24"))
+PROBE_SLEEP = int(os.environ.get("R5_PROBE_SLEEP", "120"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def probe() -> float:
+    try:
+        r = sb.run_once(32, SF_DIR, mode="hist", replicate=8)
+        wall = r["wall_s"]
+    except Exception as e:  # noqa: BLE001 - log and keep watching
+        wall = -1.0
+        r = {"err": str(e)[:120]}
+    row = {"ts": time.time(), "probe_wall_s": wall, "src": "windowed"}
+    with open(PROBE_LOG, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+    return wall
+
+
+def one_iteration(i: int, pre_walls) -> dict:
+    row = {"iter": i, "classic_rep": CLASSIC_REP, "hist_rep": HIST_REP,
+           "pre_probe_walls": pre_walls}
+    t0 = time.time()
+    row["tile8"] = sb.cpu_control(8, fn=sb._burn_tile)
+    row["tile32"] = sb.cpu_control(32, fn=sb._burn_tile)
+    row["ceil"] = (row["tile32"] / row["tile8"]) / 4.0
+    row["clo"] = sb.run_once(8, SF_DIR, replicate=CLASSIC_REP)
+    row["chi"] = sb.run_once(32, SF_DIR, replicate=CLASSIC_REP)
+    row["ceff"] = (row["clo"]["wall_s"] / row["chi"]["wall_s"]) / 4.0
+    row["hlo"] = sb.run_once(8, SF_DIR, mode="hist", replicate=HIST_REP)
+    row["hhi"] = sb.run_once(32, SF_DIR, mode="hist", replicate=HIST_REP)
+    row["heff"] = (row["hlo"]["wall_s"] / row["hhi"]["wall_s"]) / 4.0
+    row["post_probe_wall"] = probe()
+    row["good"] = bool(0 < row["post_probe_wall"] <= TRIGGER * 1.25)
+    row["iter_wall_s"] = round(time.time() - t0, 1)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps({k: row[k] for k in
+                      ("iter", "ceil", "ceff", "heff", "good",
+                       "post_probe_wall", "iter_wall_s")}), flush=True)
+    return row
+
+
+def main() -> None:
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    t_start = time.time()
+    good = 0
+    it = 0
+    recent = []
+    while good < GOOD_TARGET and time.time() - t_start < MAX_HOURS * 3600:
+        w = probe()
+        recent = (recent + [w])[-2:]
+        if len(recent) == 2 and all(0 < x <= TRIGGER for x in recent):
+            row = one_iteration(it, list(recent))
+            it += 1
+            good += int(row["good"])
+            recent = []  # re-establish the window after a ~12 min iteration
+        else:
+            time.sleep(PROBE_SLEEP)
+    rows = [json.loads(l) for l in open(OUT)]
+    rows = [r for r in rows if r.get("hist_rep") == HIST_REP
+            and "heff" in r]
+    for label, sel in (("all", rows),
+                      ("good", [r for r in rows if r.get("good")])):
+        if not sel:
+            continue
+        he = sorted(r["heff"] for r in sel)
+        ce = sorted(r["ceff"] for r in sel)
+        print(json.dumps({
+            "subset": label, "n": len(sel),
+            "hist_effs": [round(x, 3) for x in he],
+            "hist_median": round(sb._median(he), 3),
+            "classic_effs": [round(x, 3) for x in ce],
+            "classic_median": round(sb._median(ce), 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
