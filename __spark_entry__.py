@@ -1100,18 +1100,39 @@ def _q_twopass_al_accepted(spark, sf):
 
 
 def _q_em_mixture(spark, sf):
+    """EM mixture calibration under a pinned-value oracle (round 5).
+
+    The EM fit is deterministic at any parallelism: its input is a
+    500-bin integer-count histogram (exact aggregation) and the
+    multi-restart EM itself is driver-side NumPy float64. So the fitted
+    calibrator's posterior curve, sampled on a fixed 21-point sim grid
+    and rounded to 6 dp, is a stable value signature of the whole
+    fit+score path — the DuckDB oracle pins the measured sf0.01 values
+    (twopass_parity style: any drift in binning, EM, restarts, or
+    posterior_col fails the hash instead of being re-derived in-query).
+    Per-doc scoring stays covered by pytest (test_operators EM tests)."""
     import sys
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     _ensure_pkg(spark)
     from fuzzylink_spark.operators.scoring import fit_mixture_on_pairs
     docs = _t(spark, sf, "documents")
+    # deterministic bimodal score column (80% low mode ~0.05-0.40, 20%
+    # high mode ~0.60-0.95) so the EM fit has real structure — the
+    # all-mass-at-one-mode variant fitted a degenerate posterior (flat 0)
+    # whose pinned grid would pass trivially for a broken calibrator
+    u1 = F.pmod(F.xxhash64("doc_id"), F.lit(1000)) / 1000.0
+    u2 = F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(10))
     scores = docs.select(
-        "doc_id", (F.least(F.col("n_chars") / 500.0, F.lit(1.0))).alias("sim")
+        "doc_id",
+        F.when(u2 < 8, 0.05 + u1 * 0.35)
+         .otherwise(0.60 + u1 * 0.35).alias("sim"),
     )
     model = fit_mixture_on_pairs(scores, feature="sim", bins=500)
-    scored = scores.withColumn("p", F.round(model.posterior_col(), 6))
-    return scored.select("doc_id", "p")
+    grid = spark.range(21).select(
+        (F.col("id") * F.lit(0.05)).alias("sim"))
+    return (grid.withColumn("p", F.round(model.posterior_col(), 6))
+                .select(F.round("sim", 2).alias("sim"), "p"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1168,12 +1189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "lang_id": _q_lang_id,
         "mutual_best_1to1": _q_mutual_best,
+        "em_mixture_posterior": _q_em_mixture,    # pinned-grid value oracle (round 5)
         # rows-only (iterative / hash-function-specific; no ANSI-SQL oracle)
         "lexical_features": _q_lexical_features,
         "o3_weighted_sample": _q_o3_weighted_sample,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_features": _q_multimodal_features,
-        "em_mixture_posterior": _q_em_mixture,
         "active_learning_accepted": _q_active_learning,
         "twopass_accepted": _q_twopass_accepted,
         "o2_uniform_sample": _q_o2_uniform_sample,
@@ -1832,10 +1853,28 @@ def oracle_sql() -> dict[str, str]:
                                 AND x.doc_id < y.doc_id
             WHERE bit_count(xor(x.sk, y.sk)) <= 8
         """,
+        # round 5: EM mixture under a pinned-value oracle. The fit is
+        # parallelism-deterministic (integer-count histogram -> driver
+        # NumPy EM), so the posterior curve on a fixed 21-point grid at
+        # sf0.01, rounded to 6 dp, is a stable signature of the whole
+        # histogram->EM->posterior_col path; these literals were measured
+        # and cross-checked at local[4]/8-part and local[8]/13-part.
+        "em_mixture_posterior": """
+            SELECT CAST(sim AS DOUBLE) AS sim, CAST(p AS DOUBLE) AS p
+            FROM (VALUES
+              (0.00, 0.0),      (0.05, 0.0),      (0.10, 0.0),
+              (0.15, 0.0),      (0.20, 0.0),      (0.25, 0.000002),
+              (0.30, 0.000019), (0.35, 0.000212), (0.40, 0.002424),
+              (0.45, 0.027317), (0.50, 0.246392), (0.55, 0.793129),
+              (0.60, 0.978394), (0.65, 0.998147), (0.70, 0.999845),
+              (0.75, 0.999987), (0.80, 0.999999), (0.85, 1.0),
+              (0.90, 1.0),      (0.95, 1.0),      (1.00, 1.0)
+            ) t(sim, p)
+        """,
         # lexical_features: DuckDB lacks OSA/LCS/q-gram counterparts
         # (its damerau_levenshtein is the UNRESTRICTED variant, not OSA)
         # o2/o3 samples: seeded-rand sampling, engine-specific
-        # em_mixture/twopass_accepted/active_learning: rows-only
+        # twopass_accepted/active_learning: rows-only
         # (iterative or 2^64-hash-specific); their oracle-able
         # counterparts are minhash_portable_sig, minhash_lsh_pairs,
         # near_dup_dedup, neardup_cc_rep, twopass_parity,
