@@ -42,8 +42,14 @@ def main() -> None:
               f"| {r['ceff']:.3f} "
               f"| {r['hlo']['wall_s']:.1f}/{r['hhi']['wall_s']:.1f} "
               f"| {r['heff']:.3f} | {hps:.2f} | {r.get('good')} |")
-    for label, sel in (("all", rows),
-                      ("good", [r for r in rows if r.get("good")])):
+    for label, sel in (
+            ("all", rows),
+            # hist legs carry their own mid-iteration probe certificate,
+            # so the headline median uses good_hist (fall back to the
+            # whole-iteration flag for rows predating the mid-probe)
+            ("good-hist", [r for r in rows
+                           if r.get("good_hist", r.get("good"))]),
+            ("good", [r for r in rows if r.get("good")])):
         if not sel:
             continue
         print(f"\n{label} (n={len(sel)}): "

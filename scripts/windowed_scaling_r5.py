@@ -58,20 +58,27 @@ def probe() -> float:
 
 
 def one_iteration(i: int, pre_walls) -> dict:
+    # HIST (the headline 10^12-scale plan) runs FIRST, and gets its own
+    # mid-iteration probe certificate: a window that closes during the
+    # classic legs still leaves a fully bracketed hist ratio. Legs of a
+    # ratio stay back-to-back (epoch-local).
     row = {"iter": i, "classic_rep": CLASSIC_REP, "hist_rep": HIST_REP,
            "pre_probe_walls": pre_walls}
     t0 = time.time()
     row["tile8"] = sb.cpu_control(8, fn=sb._burn_tile)
     row["tile32"] = sb.cpu_control(32, fn=sb._burn_tile)
     row["ceil"] = (row["tile32"] / row["tile8"]) / 4.0
-    row["clo"] = sb.run_once(8, SF_DIR, replicate=CLASSIC_REP)
-    row["chi"] = sb.run_once(32, SF_DIR, replicate=CLASSIC_REP)
-    row["ceff"] = (row["clo"]["wall_s"] / row["chi"]["wall_s"]) / 4.0
-    row["hlo"] = sb.run_once(8, SF_DIR, mode="hist", replicate=HIST_REP)
     row["hhi"] = sb.run_once(32, SF_DIR, mode="hist", replicate=HIST_REP)
+    row["hlo"] = sb.run_once(8, SF_DIR, mode="hist", replicate=HIST_REP)
     row["heff"] = (row["hlo"]["wall_s"] / row["hhi"]["wall_s"]) / 4.0
+    row["mid_probe_wall"] = probe()
+    row["good_hist"] = bool(0 < row["mid_probe_wall"] <= TRIGGER * 1.25)
+    row["chi"] = sb.run_once(32, SF_DIR, replicate=CLASSIC_REP)
+    row["clo"] = sb.run_once(8, SF_DIR, replicate=CLASSIC_REP)
+    row["ceff"] = (row["clo"]["wall_s"] / row["chi"]["wall_s"]) / 4.0
     row["post_probe_wall"] = probe()
-    row["good"] = bool(0 < row["post_probe_wall"] <= TRIGGER * 1.25)
+    row["good"] = bool(row["good_hist"]
+                       and 0 < row["post_probe_wall"] <= TRIGGER * 1.25)
     row["iter_wall_s"] = round(time.time() - t0, 1)
     with open(OUT, "a") as f:
         f.write(json.dumps(row) + "\n")
