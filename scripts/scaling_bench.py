@@ -124,7 +124,7 @@ else:
 
 
 def run_once(cpus: int, sf_dir: str, mode: str = "classic",
-             replicate: int = 8) -> dict:
+             replicate: int = 8, timeout_s: float = 2400) -> dict:
     """One fresh-JVM featurize run.
 
     The whole process tree (JVM + Python workers) is PINNED to ``cpus``
@@ -135,7 +135,7 @@ def run_once(cpus: int, sf_dir: str, mode: str = "classic",
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
          WORKER % {"repo": REPO}, str(cpus), sf_dir, str(replicate), mode],
-        capture_output=True, text=True, timeout=2400,
+        capture_output=True, text=True, timeout=timeout_s,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
