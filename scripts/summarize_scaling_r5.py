@@ -23,9 +23,42 @@ def median(xs):
     return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
 
 
+def summarize_samples(rows) -> None:
+    """Min-estimator view of BENCH/scaling_r5_samples.jsonl (rows carry a
+    'leg' key): per-leg minima over capped samples, censoring counts, and
+    eff_hat = min T_8 / (4 * min T_32)."""
+    legs = {8: [], 32: []}
+    cens = {8: 0, 32: 0}
+    tiles = []
+    for r in rows:
+        leg = r.get("leg")
+        if leg == "tile":
+            tiles.append(r["ceil"])
+        elif leg in legs:
+            if "wall_s" in r:
+                legs[leg].append(r["wall_s"])
+            elif "censored_at_s" in r:
+                cens[leg] += 1
+    for leg in (32, 8):
+        ws = sorted(legs[leg])
+        print(f"T_{leg}: n={len(ws)} walls={ws} censored={cens[leg]} "
+              f"min={ws[0] if ws else None}")
+    if tiles:
+        print(f"tile ceilings: {[round(t, 3) for t in tiles]}")
+    if legs[8] and legs[32]:
+        eff = min(legs[8]) / (4.0 * min(legs[32]))
+        print(f"eff_hat = {min(legs[8]):.1f} / (4 x {min(legs[32]):.1f}) "
+              f"= {eff:.3f}  (= true_eff x i8/i32 where i are the "
+              f"minima's residual storm-inflation factors — unusable in "
+              f"either direction until both converge; see BENCH/BASELINE.md)")
+
+
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else OUT
     rows = [json.loads(l) for l in open(path) if l.strip()]
+    if rows and "leg" in rows[0]:
+        summarize_samples(rows)
+        return
     rows = [r for r in rows if "heff" in r]
     if not rows:
         print("no complete iterations yet")
