@@ -295,12 +295,191 @@ class JaroBatch:
         return jw
 
 
+_JW_CHUNK_PAIRS = 1 << 16  # x-chunked so temporaries stay ~100 MB/worker
+
+_PC1 = np.uint64(0x5555555555555555)
+_PC2 = np.uint64(0x3333333333333333)
+_PC3 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_PC4 = np.uint64(0x0101010101010101)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized uint64 popcount (SWAR; numpy<2 has no bitwise_count)."""
+    v = v - ((v >> _ONE) & _PC1)
+    v = (v & _PC2) + ((v >> np.uint64(2)) & _PC2)
+    v = (v + (v >> np.uint64(4))) & _PC3
+    return (v * _PC4) >> np.uint64(56)
+
+
+def _jw_cross_block(xs: list[str], ys: list[str], xcodes: np.ndarray,
+                    xlens: np.ndarray, ycodes: np.ndarray, ylens: np.ndarray,
+                    p: float, max_prefix: int) -> np.ndarray:
+    """2-D vectorized Jaro-Winkler over an x-chunk: every per-x numpy pass
+    of ``JaroBatch.scores`` runs once over the whole (nx, ny) matrix
+    instead of nx times over (ny,) rows — the per-call numpy dispatch
+    overhead (the measured 98% of the tile kernel at typical key lengths)
+    amortizes across the chunk. Bit-identical to the row-at-a-time kernel:
+    the greedy lowest-bit matching is per-(x, y) integer logic regardless
+    of vectorization axis, and every float64 expression is the same
+    elementwise formula (pytest-pinned equality in test_round6.py).
+
+    Callers guarantee 1 <= len(x) <= 64 for every x row; y rows longer
+    than 64 are handled by the caller's scalar fallback (their ycodes rows
+    stay padding, so this kernel scores them 0/garbage that the caller
+    overwrites)."""
+    nx, ny = len(xs), len(ys)
+    maxlx = int(xlens.max())
+    maxly = ycodes.shape[1]
+
+    # per-char y position bitmasks, keyed by codepoint through a dense LUT
+    codes = np.unique(ycodes)
+    codes = codes[codes >= 0]
+    bitvals = (_ONE << np.arange(maxly, dtype=np.uint64))[None, :]
+    cm_lut = np.zeros((len(codes) + 1, ny), dtype=np.uint64)  # last row: miss
+    for k, code in enumerate(codes):
+        cm_lut[k] = np.where(ycodes == code, bitvals, np.uint64(0)).sum(
+            axis=1, dtype=np.uint64)
+    # x char -> LUT row (misses map to the zero row)
+    xidx = np.searchsorted(codes, xcodes)
+    xidx = np.where(
+        (xidx < len(codes)) & (codes[np.minimum(xidx, len(codes) - 1)] == xcodes),
+        xidx, len(codes),
+    )
+
+    P = nx * ny
+    lyx = np.maximum(xlens[:, None], ylens[None, :])
+    w = np.maximum(lyx // 2 - 1, 0)
+    used = np.zeros((nx, ny), dtype=np.uint64)
+    # pair-major y_pos so the transposition gathers below walk contiguous
+    # memory; positions fit uint8 (<64, 255 = unmatched sentinel)
+    y_posT = np.full((P, maxlx), 255, dtype=np.uint8)
+    i_active = np.arange(maxlx)[:, None] < xlens[None, :]
+    for i in range(maxlx):
+        cm = cm_lut[xidx[:, i]]
+        hi = np.minimum(ylens[None, :], i + w + 1).astype(np.uint64)
+        lo = np.maximum(0, i - w).astype(np.uint64)
+        hi_mask = np.where(hi >= 64, _ALL64, (_ONE << hi) - _ONE)
+        win = hi_mask & ~((_ONE << lo) - _ONE)
+        cand = cm & win & ~used
+        if not i_active[i].all():
+            cand[~i_active[i]] = 0
+        bit = cand & (~cand + _ONE)
+        used |= bit
+        # bit index = popcount(bit - 1) (bit is a power of two; unmatched
+        # rows underflow to all-ones/64 and are masked to 255 by the where)
+        idx = _popcount64(bit - _ONE).astype(np.uint8)
+        y_posT[:, i] = np.where(cand != 0, idx, np.uint8(255)).reshape(P)
+
+    matchedT = y_posT != 255  # (P, maxlx): entries enumerate pair-major
+    m = matchedT.sum(axis=1)
+    maxm = int(m.max()) if P else 0
+
+    if maxm == 0:
+        t = np.zeros(P)
+    else:
+        # transpositions: compare the k-th matched x char (x order) with
+        # the k-th matched y char (y order). One nonzero enumerates the
+        # matched entries pair-major (so the within-pair x-order rank is a
+        # running index); the y-order rank of each entry is a POPCOUNT of
+        # the matched-position bits below its y position — no second
+        # compaction pass. One scatter + one gather line the two sequences
+        # up; a bincount of the mismatching entries folds t per pair.
+        cj, rj = np.nonzero(matchedT)
+        starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+        rank_k = (np.arange(len(cj), dtype=np.int64) - starts[cj])
+        ypos_e = y_posT[cj, rj].astype(np.uint64)
+        yrank_e = _popcount64(
+            used.reshape(P)[cj] & ((_ONE << ypos_e) - _ONE)
+        ).astype(np.int64)
+        xrow_of_pair = np.repeat(np.arange(nx, dtype=np.int32), ny)
+        ycol_of_pair = np.tile(np.arange(ny, dtype=np.int32), nx)
+        xval = xcodes[xrow_of_pair[cj], rj]
+        yval = ycodes[ycol_of_pair[cj], ypos_e.astype(np.int64)]
+        seq_y = np.zeros((maxm, P), dtype=np.int32)
+        seq_y[yrank_e, cj] = yval
+        got = seq_y[rank_k, cj]
+        mism = cj[got != xval]
+        t = np.bincount(mism, minlength=P).astype(np.float64) / 2.0
+
+    m2 = m.reshape(nx, ny)
+    t2 = t.reshape(nx, ny)
+    safe_m = np.maximum(m2, 1)
+    jaro = np.where(
+        m2 == 0,
+        0.0,
+        (m2 / xlens[:, None] + m2 / np.maximum(ylens, 1)[None, :]
+         + (safe_m - t2) / safe_m) / 3.0,
+    )
+    kp = min(max_prefix, maxlx, maxly)
+    prefix = np.zeros((nx, ny), dtype=np.int64)
+    if kp > 0:
+        running = np.ones((nx, ny), dtype=bool)
+        for k in range(kp):
+            ok = running & (k < xlens)[:, None] & (
+                xcodes[:, k][:, None] == ycodes[None, :, k]
+            )
+            prefix += ok
+            running = ok
+    jw = jaro + prefix * p * (1.0 - jaro)
+    # identical strings are exactly 1 (stringdist parity); string-keyed
+    # dict lookup instead of an O(nx*ny*64) code comparison
+    y_by_str: dict[str, list[int]] = {}
+    for j, y in enumerate(ys):
+        y_by_str.setdefault(y, []).append(j)
+    for r, x in enumerate(xs):
+        hits = y_by_str.get(x)
+        if hits:
+            jw[r, hits] = 1.0
+    return jw
+
+
 def jaro_winkler_cross(xs: list[str], ys: list[str], p: float = 0.1) -> np.ndarray:
-    """All-pairs JW matrix (len(xs), len(ys)) via the batched kernel."""
-    batch = JaroBatch(ys)
-    out = np.empty((len(xs), len(ys)), dtype=np.float64)
-    for i, x in enumerate(xs):
-        out[i] = batch.scores(x, p)
+    """All-pairs JW matrix (len(xs), len(ys)): 2-D vectorized kernel
+    (``_jw_cross_block``, x-chunked to bound temporaries), with the scalar
+    kernel covering the same edge cases the row-batched path did — empty
+    or >64-char x rows, >64-char y columns."""
+    nx, ny = len(xs), len(ys)
+    out = np.empty((nx, ny), dtype=np.float64)
+    if nx == 0 or ny == 0:
+        return out
+    max_prefix = 4
+    xlens_all = np.fromiter((len(x) for x in xs), dtype=np.int64, count=nx)
+    ylens = np.fromiter((len(y) for y in ys), dtype=np.int64, count=ny)
+    y_long = ylens > 64
+    maxly = int(min(ylens.max(), 64))
+    ycodes = np.full((ny, max(maxly, 1)), -1, dtype=np.int32)
+    for j, y in enumerate(ys):
+        if y and len(y) <= 64:
+            ycodes[j, : len(y)] = np.frombuffer(
+                y.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            ).astype(np.int32)
+
+    x_fallback = (xlens_all == 0) | (xlens_all > 64)
+    vec_rows = np.nonzero(~x_fallback)[0]
+    if len(vec_rows):
+        maxlx = int(xlens_all[vec_rows].max())
+        xcodes_all = np.full((nx, max(maxlx, 1)), -1, dtype=np.int32)
+        for r in vec_rows:
+            x = xs[r]
+            xcodes_all[r, : len(x)] = np.frombuffer(
+                x.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            ).astype(np.int32)
+        chunk = max(1, _JW_CHUNK_PAIRS // max(ny, 1))
+        for s in range(0, len(vec_rows), chunk):
+            rows = vec_rows[s : s + chunk]
+            out[rows] = _jw_cross_block(
+                [xs[r] for r in rows], ys, xcodes_all[rows],
+                xlens_all[rows], ycodes, ylens, p, max_prefix)
+    for r in np.nonzero(x_fallback)[0]:
+        x = xs[r]
+        for j, y in enumerate(ys):
+            out[r, j] = jaro_winkler(x, y, p, max_prefix)
+    if y_long.any():
+        cols = np.nonzero(y_long)[0]
+        for r in vec_rows:
+            x = xs[r]
+            for j in cols:
+                out[r, j] = jaro_winkler(x, ys[j], p, max_prefix)
     return out
 
 

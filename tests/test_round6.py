@@ -1,0 +1,74 @@
+"""Round-6 optimization pins: every rewritten kernel must stay
+bit-identical to the implementation it replaced."""
+
+import random
+import string
+
+import numpy as np
+
+from fuzzylink_spark.functions.strdist import JaroBatch, jaro_winkler, jaro_winkler_cross
+
+
+def _row_batched_cross(xs, ys, p=0.1):
+    """The pre-round-6 jaro_winkler_cross: JaroBatch row at a time (the
+    kernel the 2-D vectorized path must reproduce bit-for-bit)."""
+    batch = JaroBatch(ys)
+    out = np.empty((len(xs), len(ys)), dtype=np.float64)
+    for i, x in enumerate(xs):
+        out[i] = batch.scores(x, p)
+    return out
+
+
+def test_jw_cross_2d_matches_row_batched_kernel():
+    rng = random.Random(7)
+    words = ("key agg row scan slow fast table value part hash batch "
+             "window spark order data column").split()
+    xs = [" ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))[:48]
+          for _ in range(120)]
+    ys = [" ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))[:48]
+          for _ in range(150)]
+    assert np.array_equal(jaro_winkler_cross(xs, ys), _row_batched_cross(xs, ys))
+
+
+def test_jw_cross_2d_edge_cases():
+    edge = ["", "a", "ab" * 40, "résumé café",
+            "日本語のテキスト", "ZZZ",
+            "spark" * 13, "x" * 64, "y" * 65, "same same"]
+    assert np.array_equal(jaro_winkler_cross(edge, edge),
+                          _row_batched_cross(edge, edge))
+
+
+def test_jw_cross_2d_fuzz_unicode():
+    rng = random.Random(11)
+    alpha = string.ascii_letters + "  éü日本あ0123"
+    strs = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 70)))
+            for _ in range(160)]
+    xs, ys = strs[:80], strs[80:]
+    assert np.array_equal(jaro_winkler_cross(xs, ys), _row_batched_cross(xs, ys))
+
+
+def test_jw_cross_2d_chunk_boundaries(monkeypatch):
+    import fuzzylink_spark.functions.strdist as sd
+
+    rng = random.Random(3)
+    xs = ["".join(rng.choice(string.ascii_lowercase) for _ in range(10))
+          for _ in range(37)]
+    ys = ["".join(rng.choice(string.ascii_lowercase) for _ in range(10))
+          for _ in range(41)]
+    want = _row_batched_cross(xs, ys)
+    for chunk in (1, 7, 100, 1 << 16):
+        monkeypatch.setattr(sd, "_JW_CHUNK_PAIRS", chunk)
+        assert np.array_equal(jaro_winkler_cross(xs, ys), want)
+
+
+def test_jw_cross_2d_scalar_parity_spot():
+    # anchor to the scalar reference kernel too, not just the row-batched one
+    rng = random.Random(5)
+    xs = ["".join(rng.choice(string.ascii_lowercase + " ")
+                  for _ in range(rng.randint(0, 20))) for _ in range(25)]
+    ys = ["".join(rng.choice(string.ascii_lowercase + " ")
+                  for _ in range(rng.randint(0, 20))) for _ in range(25)]
+    got = jaro_winkler_cross(xs, ys)
+    for i, x in enumerate(xs):
+        for j, y in enumerate(ys):
+            assert got[i, j] == jaro_winkler(x, y)
