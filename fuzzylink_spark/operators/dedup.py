@@ -78,26 +78,46 @@ def minhash_udf(num_hashes: int = 32, shingle: int = 5, seed: int = 7):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MINHASH_P), num_hashes, dtype=np.uint64)
     b = rng.integers(0, int(_MINHASH_P), num_hashes, dtype=np.uint64)
-    empty = [int(_MINHASH_P)] * num_hashes
     base = np.uint64(1_000_003)
-    pows = base ** np.arange(shingle - 1, -1, -1, dtype=np.uint64)  # wraps
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        out = []
-        for t in texts:
-            bts = np.frombuffer((t or "").lower().encode("utf-8"), dtype=np.uint8)
-            if len(bts) < shingle:
-                out.append(empty)
-                continue
-            windows = sliding_window_view(bts, shingle).astype(np.uint64)
-            h = np.unique((windows * pows[None, :]).sum(axis=1, dtype=np.uint64))
+        # round-6: batch-vectorized — ALL documents' bytes concatenate into
+        # one array, the rolling polynomial hash runs once over the blob,
+        # windows that cross a document boundary are masked to the sentinel
+        # P (== the empty-document signature value, larger than any valid
+        # hash), and each permutation's per-document minimum is a single
+        # minimum.reduceat. Identical signatures to the per-document
+        # kernel (the dropped np.unique only deduped inputs to a min);
+        # removes the per-document Python/numpy dispatch overhead.
+        n = len(texts)
+        encs = [(t or "").lower().encode("utf-8") for t in texts]
+        lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
+        out_mat = np.full((n, num_hashes), int(_MINHASH_P), dtype=np.int64)
+        vidx = np.nonzero(lens >= shingle)[0]
+        if len(vidx):
+            blob = b"".join(encs[i] for i in vidx)
+            all_b = np.frombuffer(blob, dtype=np.uint8).astype(np.uint64)
+            offsets = np.concatenate([[0], np.cumsum(lens[vidx])])
+            W = len(all_b) - shingle + 1
+            h = np.zeros(W, dtype=np.uint64)
+            for j in range(shingle):
+                h = h * base + all_b[j : j + W]
             h %= _MINHASH_P
-            sig = (a[None, :] * h[:, None] + b[None, :]) % _MINHASH_P
-            out.append([int(x) for x in sig.min(axis=0)])
-        return pd.Series(out)
+            inv = [
+                np.arange(max(offsets[d + 1] - shingle + 1, offsets[d]),
+                          min(offsets[d + 1], W))
+                for d in range(len(vidx) - 1)
+            ]
+            inv_idx = (np.concatenate(inv) if inv
+                       else np.array([], dtype=np.int64))
+            starts = offsets[:-1]
+            for i in range(num_hashes):
+                vi = (a[i] * h + b[i]) % _MINHASH_P
+                if len(inv_idx):
+                    vi[inv_idx] = _MINHASH_P
+                out_mat[vidx, i] = np.minimum.reduceat(vi, starts).astype(np.int64)
+        return pd.Series(out_mat.tolist())
 
     return _mh
 
@@ -122,8 +142,16 @@ def lsh_candidate_pairs(
     """MinHash-LSH near-dup candidate pairs DataFrame[a, b] with a < b.
 
     bands × rows layout (rows = num_hashes/bands); docs agreeing on ALL
-    rows of any band share a bucket. The self-join runs per (band, bucket),
-    so the shuffle key is the bucket hash — never a global cross join.
+    rows of any band share a bucket. Pairs are generated per (band, bucket)
+    group — the shuffle key is the bucket hash, never a global cross join.
+
+    Round-6 shape: ONE aggregation per (band, bucket) collects the member
+    list, bounds it (buckets above ``max_bucket`` dropped — a 10^6-doc
+    boilerplate bucket would mean 10^12 intra-bucket pairs), and a double
+    explode emits the a<b member pairs. The former bucket-size join +
+    bucket self-join evaluated the signature subtree three times (the
+    expensive MinHash UDF ran per branch) and shuffled ``banded`` twice;
+    this computes signatures once and shuffles one band table.
     """
     rows = num_hashes // bands
     sig = minhash_signature(df.select(id_col, content_col), content_col,
@@ -143,19 +171,15 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # bound pathological buckets (boilerplate): drop with a count column the
-    # caller can log — a 10^6-doc bucket would mean 10^12 intra-bucket pairs
-    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-    bounded = banded.join(
-        bucket_sizes.where(F.col("_bsz") <= max_bucket), ["band", "bucket"]
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
-
-    left = bounded.select("band", "bucket", F.col(id_col).alias("a"))
-    right = bounded.select("band", "bucket", F.col(id_col).alias("b"))
     return (
-        left.join(right, ["band", "bucket"])
+        members.select(F.explode("_ids").alias("a"), "_ids")
+        .select("a", F.explode("_ids").alias("b"))
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 
@@ -204,16 +228,17 @@ def lsh_candidate_pairs_portable(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-    bounded = banded.join(
-        bucket_sizes.where(F.col("_bsz") <= max_bucket), ["band", "bucket"]
+    # same single-aggregation pair generation as lsh_candidate_pairs
+    # (round-6): signatures compute once, buckets bound in the aggregate
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
-    left = bounded.select("band", "bucket", F.col(id_col).alias("a"))
-    right = bounded.select("band", "bucket", F.col(id_col).alias("b"))
     return (
-        left.join(right, ["band", "bucket"])
+        members.select(F.explode("_ids").alias("a"), "_ids")
+        .select("a", F.explode("_ids").alias("b"))
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 
@@ -253,13 +278,19 @@ def lsh_bucket_star_edges(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    sizes = banded.groupBy("band", "bucket").agg(
-        F.count("*").alias("_n"), F.min(id_col).alias("_root")
+    # round-6: one aggregation collects each bucket's members (the former
+    # size-filter join re-evaluated the MinHash signature subtree twice);
+    # the star explodes from the collected list, min member as root
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        .select(F.array_min("_ids").alias("_root"), "_ids")
     )
     return (
-        banded.join(sizes.where(F.col("_n") <= max_bucket), ["band", "bucket"])
-        .where(F.col(id_col) != F.col("_root"))
-        .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
+        members.select("_root", F.explode("_ids").alias("dst"))
+        .where(F.col("dst") != F.col("_root"))
+        .select(F.col("_root").alias("src"), "dst")
         .distinct()
     )
 
