@@ -367,38 +367,53 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     cluster: a 1M-pair default budget is right at 10^12 pairs (amortizes
     the per-tile Arrow hand-off) but would put a 2M-pair run on two cores;
     the budget floors at 50k pairs so tiny inputs don't shatter into
-    overhead-dominated confetti."""
+    overhead-dominated confetti.
+
+    Round-6 shape: the per-block stats are COLLECTED and the grid computed
+    on the driver — the plan is broadcast-sized by contract (it is
+    broadcast onto the sides, and the pre-r6 formulation already ranked it
+    through a single-partition window), so the collect is bounded by the
+    same assumption. One Spark job replaces three (stats aggregate,
+    single-partition rank window, downstream total-cells aggregate): the
+    returned local-relation DataFrame carries ``_fl_plan_info``
+    (total_cells / total_pairs / sum_na / sum_nb) that downstream
+    consumers read instead of re-aggregating the plan. ka/kb/block_id are
+    numerically identical to the Catalyst formulation (same double-
+    division + ceil ops; Python string sort == Spark UTF8 binary order
+    for valid Unicode)."""
+    import math
+
     ca = uA.groupBy("block_key").agg(F.count("*").alias("n_a"))
     cb = uB.groupBy("block_key").agg(F.count("*").alias("n_b"))
     # FULL outer: one-sided blocks pair with nothing but still need a
     # distinct block_id (they flow through the cogroup as empty-other
     # groups; a shared fallback id would cross-pair them)
     stats = ca.join(cb, "block_key", "full").na.fill({"n_a": 0, "n_b": 0})
+    rows = stats.collect()
+    total_pairs = sum(r["n_a"] * r["n_b"] for r in rows)
     if target_cells:
-        row = stats.agg(
-            F.sum(F.col("n_a").cast("long") * F.col("n_b")).alias("t")).first()
-        total_pairs = int(row["t"] or 0)
         pair_budget = int(max(50_000,
                               min(pair_budget, total_pairs / target_cells)))
-    cells = F.least(
-        F.greatest(
-            F.ceil(F.col("n_a") * F.col("n_b") / F.lit(pair_budget)), F.lit(1)
-        ),
-        F.lit(max_salt),
-    )
-    # square-ish grid: ka/kb proportional to side sizes, ka*kb >= cells
-    ka = F.least(
-        F.greatest(F.ceil(F.sqrt(cells * F.col("n_a") / F.greatest(F.col("n_b"), F.lit(1)))), F.lit(1)),
-        F.greatest(F.col("n_a"), F.lit(1)),
-    )
-    kb = F.greatest(F.ceil(cells / ka), F.lit(1))
-    from pyspark.sql import Window
-
-    bid = F.row_number().over(Window.orderBy("block_key")).cast("int")
-    return stats.select(
-        "block_key", ka.cast("int").alias("ka"), kb.cast("int").alias("kb"),
-        bid.alias("block_id"),
-    )
+    out_rows = []
+    total_cells = 0
+    for bid, r in enumerate(sorted(rows, key=lambda r: r["block_key"]), 1):
+        na, nb = r["n_a"], r["n_b"]
+        cells = min(max(math.ceil(na * nb / pair_budget), 1), max_salt)
+        # square-ish grid: ka/kb proportional to side sizes, ka*kb >= cells
+        ka = min(max(math.ceil(math.sqrt(cells * na / max(nb, 1))), 1),
+                 max(na, 1))
+        kb = max(math.ceil(cells / ka), 1)
+        total_cells += ka * kb
+        out_rows.append((r["block_key"], ka, kb, bid))
+    plan = uA.sparkSession.createDataFrame(
+        out_rows, schema="block_key string, ka int, kb int, block_id int")
+    plan._fl_plan_info = {
+        "total_cells": total_cells,
+        "total_pairs": total_pairs,
+        "sum_na": sum(r["n_a"] for r in rows),
+        "sum_nb": sum(r["n_b"] for r in rows),
+    }
+    return plan
 
 
 def _cogrouped_tiles(
@@ -434,8 +449,13 @@ def _cogrouped_tiles(
     block_k = salt_plan if salt_plan is not None else block_salt_plan(
         uA, uB, pair_budget, max_salt,
         target_cells=sc.defaultParallelism * 3)
-    row = block_k.agg(F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
-    total_cells = int(row["c"] or 1)
+    info = getattr(block_k, "_fl_plan_info", None)
+    if info is not None:
+        total_cells = max(int(info["total_cells"]), 1)
+    else:  # plan from storage/checkpoint: aggregate it (one tiny job)
+        row = block_k.agg(
+            F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
+        total_cells = int(row["c"] or 1)
     # 4 partition slots per tile: tiles are seconds of kernel compute, so
     # two tiles hash-colliding into one partition creates a straggler that
     # caps scaling; extra empty partitions cost only empty-task launches.

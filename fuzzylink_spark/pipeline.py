@@ -223,8 +223,6 @@ def _scored_pairs_impl(
     # pass (J2 + F2/F10); every block adaptively 2-D tiled before any pair
     # exists; embeddings computed in-tile from keys (shuffle moves strings,
     # never vectors)
-    import concurrent.futures as _fut
-
     from fuzzylink_spark.functions.vectors import embed_strings
     from fuzzylink_spark.operators.features import block_salt_plan, cogrouped_pair_features
 
@@ -237,18 +235,48 @@ def _scored_pairs_impl(
     # the tile plan is built HERE (not inside cogrouped_pair_features) so
     # this function owns its persist lifecycle explicitly — released with
     # the other side caches via the ScoredPairs handle. It is also the
-    # authority for the dense block ids the melt emits.
+    # authority for the dense block ids the melt emits. Its stats collect
+    # is the ONE planning job of this stage (r6): it materializes the
+    # uA/uB/blocks caches and completes the P1 observations.
     salt_plan = block_salt_plan(
         uA, uB, config.salt_pair_threshold,
         target_cells=spark.sparkContext.defaultParallelism * 3).persist()
     persisted.append(salt_plan)
+    plan_info = salt_plan._fl_plan_info
 
-    # P4 pairwise distinct (R/fuzzylink.R:189-190): a (A,B) pair can repeat
-    # only when some key occurs under >1 block key — find those keys
-    # cheaply on the (persisted) distinct-key sides. Runs in a worker
-    # thread so its job overlaps the tile-plan job inside
-    # cogrouped_pair_features (Spark schedules concurrent jobs from
-    # separate threads).
+    # the salt-plan stats job fully scanned both sides, so the P1 drop
+    # observations are complete — surface the reference's warning now
+    from fuzzylink_spark.operators.blocking import p1_drop_warning
+
+    p1_drop_warning(a_src)
+    p1_drop_warning(b_src)
+    # reference errors when blocking leaves dfB empty (R/fuzzylink.R:81-86).
+    # The collected plan stats already carry uB's distinct-row count — no
+    # probe job (r6; the pre-r6 shape paid a limit(1) count here).
+    if blocking and plan_info["sum_nb"] == 0:
+        raise ValueError(
+            "blocking removed every dfB row: no overlap between dfA and dfB "
+            f"on blocking keys {blocking}"
+        )
+
+    scored = cogrouped_pair_features(
+        uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
+        case_insensitive=config.exact_case_insensitive,
+        salt_plan=salt_plan)
+
+    # P4 pairwise distinct (R/fuzzylink.R:189-190) WITHOUT shuffling the
+    # pair table: a (A,B) pair can repeat only when BOTH keys share >= 2
+    # blocks, so the exact removal list — (block_id, a_id, b_id) of every
+    # non-minimal common block — is computable from the tiny multi-key
+    # slices of the SIDES, and a LEFT ANTI join drops the duplicates.
+    # r6: applied unconditionally as part of the melt action's DAG (empty
+    # removal list == no-op) instead of gating on a sequential driver-side
+    # multi-key count + size-estimate job pair; no broadcast hint — the
+    # removal list's size is unknown until runtime (usually tiny, but
+    # quadratic in degenerate multi-block blocking), so AQE broadcasts it
+    # when the runtime stats fit and falls back to a fixed-width int-id
+    # shuffle join otherwise (the same shuffle magnitude the old
+    # degenerate-path dropDuplicates paid).
     multi_keys = (
         uA.select("block_key", "key").union(uB.select("block_key", "key"))
         .groupBy("key")
@@ -256,9 +284,6 @@ def _scored_pairs_impl(
         .where(F.col("nb") > 1)
         .select("key")
     )
-    # no broadcast HINT on multi_keys: its size is unknown (could be
-    # O(distinct keys) under multi-valued blocking) — AQE broadcasts it
-    # when the runtime stats say it fits and shuffle-joins otherwise.
     # block ids come from the salt plan (the dense-rank authority), same
     # ids the melt emits.
     bid_map = F.broadcast(salt_plan.select("block_key", "block_id"))
@@ -268,70 +293,16 @@ def _scored_pairs_impl(
     mkb = uB.join(multi_keys, "key", "left_semi").join(bid_map, "block_key").select(
         "block_id", F.xxhash64("key").alias("b_id"),
     )
+    from pyspark.sql import Window
 
-    def _dedup_stats() -> tuple[int, int]:
-        n = multi_keys.count()
-        if n == 0:
-            return 0, 0
-        # removal-list size = per-block cross product of multi-keys — can
-        # be quadratically larger than n; compute the exact estimate from
-        # two tiny aggregates (still inside this overlapped thread)
-        row = (
-            mka.groupBy("block_id").agg(F.count("*").alias("na"))
-            .join(mkb.groupBy("block_id").agg(F.count("*").alias("nb")),
-                  "block_id")
-            .agg(F.sum(F.col("na") * F.col("nb")).alias("n")).first()
-        )
-        return n, int(row["n"] or 0)
-
-    with _fut.ThreadPoolExecutor(max_workers=1) as ex:
-        check = ex.submit(_dedup_stats)
-        scored = cogrouped_pair_features(
-            uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
-            case_insensitive=config.exact_case_insensitive,
-            salt_plan=salt_plan)
-        n_multi, n_removal_est = check.result()
-    # the multi-block check fully scanned both sides, so the P1 drop
-    # observations are complete — surface the reference's warning now
-    from fuzzylink_spark.operators.blocking import p1_drop_warning
-
-    p1_drop_warning(a_src)
-    p1_drop_warning(b_src)
-    # reference errors when blocking leaves dfB empty (R/fuzzylink.R:81-86).
-    # uB is persisted and was just scanned by the checks above, so this
-    # existence probe is cache-hit cheap — no extra scan of dfB
-    if blocking and uB.limit(1).count() == 0:
-        raise ValueError(
-            "blocking removed every dfB row: no overlap between dfA and dfB "
-            f"on blocking keys {blocking}"
-        )
-    if n_multi > 0:
-        # P4 pairwise distinct WITHOUT shuffling the pair table: a pair
-        # duplicates only when BOTH keys share >= 2 blocks, so the exact
-        # removal list — (block_id, a_id, b_id) of every non-minimal
-        # common block — is computable from the tiny multi-key slices of
-        # the SIDES. A broadcast LEFT ANTI join then drops the duplicate
-        # rows map-side (measured: ~7 s of 24M-row dedup shuffle replaced
-        # by a sub-second broadcast of a few-thousand-row list); the
-        # broadcast is bounded by the cross-product size estimate computed
-        # in the overlapped stats thread above.
-        if n_removal_est <= 5_000_000:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("a_id", "b_id").orderBy("block_id")
-            removal = (
-                mka.join(mkb, "block_id")
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") > 1)
-                .select("block_id", "a_id", "b_id")
-            )
-            scored = scored.join(F.broadcast(removal),
-                                 ["block_id", "a_id", "b_id"], "left_anti")
-        else:
-            # degenerate blocking (dense multi-key blocks): global dedup
-            # on the int ids — a fixed-width shuffle, never a string
-            # shuffle, and never a quadratic driver broadcast
-            scored = scored.dropDuplicates(["a_id", "b_id"])
+    w = Window.partitionBy("a_id", "b_id").orderBy("block_id")
+    removal = (
+        mka.join(mkb, "block_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select("block_id", "a_id", "b_id")
+    )
+    scored = scored.join(removal, ["block_id", "a_id", "b_id"], "left_anti")
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
                               repartition_cols=["block_id"])
     if config.work_dir:
@@ -350,7 +321,9 @@ def _scored_pairs_impl(
         key_dict, block_dict = pair_dictionaries(uA, uB, salt_plan)
         scored = attach_pair_strings(scored, key_dict, block_dict)
     if labeler is not None:
-        k = max(config.initial_train_n // max(uA.count(), 1), 1)
+        # |uA| from the collected plan stats (== uA.count(): per-block
+        # distinct-row counts summed) — no extra job (r6)
+        k = max(config.initial_train_n // max(plan_info["sum_na"], 1), 1)
         seed_pairs = top_k_per_group(scored, "A", "sim", k)
         seed_pairs = uniform_sample_n(seed_pairs, config.initial_train_n, config.seed)
         labels = labeler.label_pairs(seed_pairs)
@@ -569,11 +542,6 @@ def fuzzylink_twopass(
         persisted.append(uA)
         uB = unique_keys_per_block(b, by).persist()
         persisted.append(uB)
-        if blocking and uB.limit(1).count() == 0:
-            raise ValueError(
-                "blocking removed every dfB row: no overlap between dfA and "
-                f"dfB on blocking keys {blocking}"
-            )
 
         from fuzzylink_spark.functions.vectors import embed_strings
 
@@ -584,13 +552,21 @@ def fuzzylink_twopass(
             return embed_strings(keys_batch, dim=dim, ngrams=ngrams, seed=eseed)
 
         # one tiling for every pass (hist / band / accept): fewer planning
-        # jobs, and identical tile boundaries across passes by construction
+        # jobs, and identical tile boundaries across passes by construction.
+        # Its collected stats also answer the dfB-overlap check and the
+        # side counts downstream — the pre-r6 shape paid a limit(1) probe
+        # plus two count() jobs for those.
         from fuzzylink_spark.operators.features import block_salt_plan
 
         salt_plan = block_salt_plan(
             uA, uB, config.salt_pair_threshold,
             target_cells=spark.sparkContext.defaultParallelism * 3).persist()
         persisted.append(salt_plan)
+        if blocking and salt_plan._fl_plan_info["sum_nb"] == 0:
+            raise ValueError(
+                "blocking removed every dfB row: no overlap between dfA and "
+                f"dfB on blocking keys {blocking}"
+            )
 
         return _twopass_body(
             spark, dfA, dfB, config, bins, labeler, al_band_delta,
@@ -619,14 +595,37 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
     )
     from fuzzylink_spark.operators.scoring import fit_mixture2d_em
 
-    # pass 1: bounded histogram -> driver-side EM + cutoff
+    # pass 1: bounded histogram -> driver-side EM + cutoff. The exact-pair
+    # count (a tiny side join, needed only after the histogram) runs in a
+    # worker thread so its job overlaps the histogram GEMM (r6; Spark
+    # schedules concurrent jobs from separate threads).
+    import concurrent.futures as _fut
+
     lo, hi = -1.0, 1.0
     width = (hi - lo) / bins
-    cells = cogrouped_pair_histogram(
-        uA, uB, encoder=encoder, bins=bins, lo=lo, hi=hi,
-        pair_budget=config.salt_pair_threshold,
-        case_insensitive=config.exact_case_insensitive,
-        salt_plan=salt_plan).collect()
+
+    def _exact_mass() -> float:
+        # exact pairs are excluded from the histogram but are accepted at
+        # EVERY cutoff — count them from the sides (tiny join) and fold
+        # the mass into tp, matching the classic _f1_frame objective
+        ci = (F.xxhash64(F.lower("key")) if config.exact_case_insensitive
+              else F.xxhash64("key"))
+        ea = uA.select("block_key", ci.alias("ci")).groupBy("block_key", "ci").agg(
+            F.count("*").alias("na"))
+        eb = uB.select("block_key", ci.alias("ci")).groupBy("block_key", "ci").agg(
+            F.count("*").alias("nb"))
+        exact_row = ea.join(eb, ["block_key", "ci"]).agg(
+            F.sum(F.col("na") * F.col("nb")).alias("n")).first()
+        return float(exact_row["n"] or 0)
+
+    with _fut.ThreadPoolExecutor(max_workers=1) as ex:
+        exact_fut = ex.submit(_exact_mass)
+        cells = cogrouped_pair_histogram(
+            uA, uB, encoder=encoder, bins=bins, lo=lo, hi=hi,
+            pair_budget=config.salt_pair_threshold,
+            case_insensitive=config.exact_case_insensitive,
+            salt_plan=salt_plan).collect()
+        n_exact = exact_fut.result()
     if not cells:
         raise ValueError("no non-exact candidate pairs to calibrate on")
     hist = np.array(
@@ -634,23 +633,14 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
          for r in cells], dtype=np.float64,
     )
     n_pairs = float(hist[:, 2].sum())
-    stats = uA.count(), uB.count()
+    # |uA|, |uB| from the collected plan stats — the pre-r6 shape paid two
+    # sequential count() jobs here
+    plan_info = salt_plan._fl_plan_info
+    stats = plan_info["sum_na"], plan_info["sum_nb"]
     model = fit_mixture2d_em(hist, prevalence_hint=min(stats) / max(n_pairs, 1.0))
     model.features = ("sim", "jw")
     post = model.posterior_fn()
     p_cells = post(hist[:, 0], hist[:, 1])
-    # exact pairs are excluded from the histogram but are accepted at
-    # EVERY cutoff — count them from the sides (tiny join) and fold the
-    # mass into tp, matching the classic _f1_frame objective
-    ci = (F.xxhash64(F.lower("key")) if config.exact_case_insensitive
-          else F.xxhash64("key"))
-    ea = uA.select("block_key", ci.alias("ci")).groupBy("block_key", "ci").agg(
-        F.count("*").alias("na"))
-    eb = uB.select("block_key", ci.alias("ci")).groupBy("block_key", "ci").agg(
-        F.count("*").alias("nb"))
-    exact_row = ea.join(eb, ["block_key", "ci"]).agg(
-        F.sum(F.col("na") * F.col("nb")).alias("n")).first()
-    n_exact = float(exact_row["n"] or 0)
     cutoff = expected_f1_cutoff_from_hist(
         p_cells, hist[:, 2], fallback=config.fallback_cutoff,
         yes_mass=n_exact, strict_parity=config.cutoff_strict_parity)
