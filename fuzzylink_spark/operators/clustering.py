@@ -121,19 +121,27 @@ def connected_components(
     # expensive (e.g. a MinHash scan) and every star round / node scan
     # would otherwise recompute it
     cur = _canon(edges).localCheckpoint(eager=True)
+    # all_nodes is a LAZY plan over the checkpointed edges (r6): the
+    # driver-finish path below never evaluates it (the collected edge list
+    # already names every node), and the distributed path's singleton scan
+    # reads the checkpoint's cached blocks — the former eager second
+    # checkpoint bought nothing
+    cur0 = cur
     all_nodes = (
-        cur.select(F.col("src").alias("id"))
-        .unionAll(cur.select(F.col("dst").alias("id")))
+        cur0.select(F.col("src").alias("id"))
+        .unionAll(cur0.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_sig = None
     n0 = cur.count()
     if 0 < n0 <= driver_finish_threshold:
         assign_rows = _driver_union_find([(r["src"], r["dst"]) for r in cur.collect()])
-        cur = spark.createDataFrame(
-            [(root, node) for node, root in assign_rows if node != root],
-            schema="src long, dst long",
+        # the collected edge list covers every node (all_nodes is src ∪ dst
+        # of the same edges), so the assignment IS the full result: no
+        # roots/singleton union or final distinct job needed (r6)
+        return spark.createDataFrame(
+            [(root, node) for node, root in assign_rows],
+            schema="component long, id long",
         )
     else:
         for i in range(max_iter):

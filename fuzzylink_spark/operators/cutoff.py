@@ -127,7 +127,15 @@ def expected_f1_cutoff(
         grouped = df.withColumn("_pb", b).groupBy(
             "_pb", *( [label] if label else [] )
         ).agg(F.count("*").cast("double").alias("_w"))
-        frame = _f1_frame(grouped.withColumnRenamed("_pb", p_col), p_col, "_w", label)
+        # r6: collect the bounded bucket table (<= bins x 3 rows) and run
+        # the running-sum program over a LOCAL relation — the frame's
+        # argmax job no longer re-scans the pair table (the only O(pairs)
+        # work left is the one bucketing aggregation). Same _f1_frame
+        # program, same bucket rows, so the cutoff is unchanged (bucket
+        # weights are exact integer counts; pytest pins the cutoffs).
+        spark = pairs.sparkSession
+        local = spark.createDataFrame(grouped.collect(), schema=grouped.schema)
+        frame = _f1_frame(local.withColumnRenamed("_pb", p_col), p_col, "_w", label)
 
     # tie-break on HIGHEST p, matching the reference's which.max over the
     # desc-sorted frame (R/fuzzylink.R:368-370) — precision-favoring

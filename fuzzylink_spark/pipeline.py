@@ -400,14 +400,26 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
             feature="score", bins=config.cutoff_bins,
         )
     else:  # 'em' -> K=3 2-D (sim, jw) mixture, the default offline calibrator
-        from fuzzylink_spark.operators.scoring import fit_mixture2d_on_pairs
+        import concurrent.futures as _fut
+
+        from fuzzylink_spark.operators.scoring import fit_mixture2d_em, score_histogram_2d
 
         nontrivial = blended.where(nontrivial_pred)
-        stats = nontrivial.agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct("a_id" if "a_id" in blended.columns else "A").alias("na"),
-            F.approx_count_distinct("b_id" if "b_id" in blended.columns else "B").alias("nb"),
-        ).first()
+        # the prevalence-hint stats and the EM histogram are independent
+        # scans of the (cached) pair table — run them as concurrent jobs
+        # (r6; they were sequential before)
+        with _fut.ThreadPoolExecutor(max_workers=1) as _ex:
+            stats_fut = _ex.submit(
+                lambda: nontrivial.agg(
+                    F.count("*").alias("n"),
+                    F.approx_count_distinct(
+                        "a_id" if "a_id" in blended.columns else "A").alias("na"),
+                    F.approx_count_distinct(
+                        "b_id" if "b_id" in blended.columns else "B").alias("nb"),
+                ).first()
+            )
+            hist = score_histogram_2d(nontrivial, "sim", "jw")
+            stats = stats_fut.result()
         if stats["n"] == 0:
             # nothing to calibrate on (e.g. single-record input): only the
             # exact-match override can fire
@@ -417,8 +429,8 @@ def fit_and_score(pairs: DataFrame, config: LinkConfig, labeler=None):
         else:
             # Fellegi-Sunter-informed prior: each left record has <= ~1 match
             hint = min(stats["na"], stats["nb"]) / stats["n"]
-            model = fit_mixture2d_on_pairs(nontrivial, fx="sim", fy="jw",
-                                           prevalence_hint=hint)
+            model = fit_mixture2d_em(hist, prevalence_hint=hint)
+            model.features = ("sim", "jw")
     return with_match_probability(
         blended, model, case_insensitive=config.exact_case_insensitive), model
 
