@@ -464,12 +464,22 @@ def jaro_winkler_cross(xs: list[str], ys: list[str], p: float = 0.1) -> np.ndarr
             xcodes_all[r, : len(x)] = np.frombuffer(
                 x.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
             ).astype(np.int32)
-        chunk = max(1, _JW_CHUNK_PAIRS // max(ny, 1))
-        for s in range(0, len(vec_rows), chunk):
-            rows = vec_rows[s : s + chunk]
-            out[rows] = _jw_cross_block(
-                [xs[r] for r in rows], ys, xcodes_all[rows],
-                xlens_all[rows], ycodes, ylens, p, max_prefix)
+        from fuzzylink_spark.functions._jw_native import jw_cross_c, jw_cross_native
+
+        fn = jw_cross_native()
+        if fn is not None:
+            # native bit-parallel kernel (~10x the numpy path; bit-identical
+            # by construction — see _jw_native, pinned by test_round6.py)
+            out[vec_rows] = jw_cross_c(
+                fn, np.ascontiguousarray(xcodes_all[vec_rows]),
+                xlens_all[vec_rows], ycodes, ylens, p)
+        else:
+            chunk = max(1, _JW_CHUNK_PAIRS // max(ny, 1))
+            for s in range(0, len(vec_rows), chunk):
+                rows = vec_rows[s : s + chunk]
+                out[rows] = _jw_cross_block(
+                    [xs[r] for r in rows], ys, xcodes_all[rows],
+                    xlens_all[rows], ycodes, ylens, p, max_prefix)
     for r in np.nonzero(x_fallback)[0]:
         x = xs[r]
         for j, y in enumerate(ys):

@@ -61,6 +61,26 @@ def test_jw_cross_2d_chunk_boundaries(monkeypatch):
         assert np.array_equal(jaro_winkler_cross(xs, ys), want)
 
 
+def test_jw_cross_native_and_numpy_paths_agree(monkeypatch):
+    """The C kernel (when a compiler exists) and the numpy 2-D kernel must
+    produce identical bits; both must match the row-batched reference."""
+    import fuzzylink_spark.functions._jw_native as njw
+
+    rng = random.Random(13)
+    alpha = string.ascii_letters + "  éü日本あ0123"
+    xs = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 64)))
+          for _ in range(60)]
+    ys = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 70)))
+          for _ in range(70)]
+    want = _row_batched_cross(xs, ys)
+    got_default = jaro_winkler_cross(xs, ys)
+    assert np.array_equal(got_default, want)
+    # force the numpy fallback path regardless of compiler availability
+    monkeypatch.setattr(njw, "_FN", None)
+    monkeypatch.setattr(njw, "_TRIED", True)
+    assert np.array_equal(jaro_winkler_cross(xs, ys), want)
+
+
 def test_jw_cross_2d_scalar_parity_spot():
     # anchor to the scalar reference kernel too, not just the row-batched one
     rng = random.Random(5)
