@@ -389,7 +389,17 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     # distinct block_id (they flow through the cogroup as empty-other
     # groups; a shared fallback id would cross-pair them)
     stats = ca.join(cb, "block_key", "full").na.fill({"n_a": 0, "n_b": 0})
-    rows = stats.collect()
+    # marker row (NULL block_key — real block keys are never null): global
+    # distinct-key counts per side, so consumers can detect multi-block
+    # keys (nd < sum of per-block counts) without another job
+    marker = (
+        uA.agg(F.countDistinct("key").alias("n_a"))
+        .crossJoin(uB.agg(F.countDistinct("key").alias("n_b")))
+        .select(F.lit(None).cast("string").alias("block_key"), "n_a", "n_b")
+    )
+    all_rows = stats.unionByName(marker).collect()
+    rows = [r for r in all_rows if r["block_key"] is not None]
+    nd = next((r for r in all_rows if r["block_key"] is None), None)
     total_pairs = sum(r["n_a"] * r["n_b"] for r in rows)
     if target_cells:
         pair_budget = int(max(50_000,
@@ -412,6 +422,9 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
         "total_pairs": total_pairs,
         "sum_na": sum(r["n_a"] for r in rows),
         "sum_nb": sum(r["n_b"] for r in rows),
+        "nd_a": int(nd["n_a"]) if nd is not None else 0,
+        "nd_b": int(nd["n_b"]) if nd is not None else 0,
+        "block_ids": {r[0]: r[3] for r in out_rows},
     }
     return plan
 

@@ -237,12 +237,55 @@ def _scored_pairs_impl(
     # the other side caches via the ScoredPairs handle. It is also the
     # authority for the dense block ids the melt emits. Its stats collect
     # is the ONE planning job of this stage (r6): it materializes the
-    # uA/uB/blocks caches and completes the P1 observations.
-    salt_plan = block_salt_plan(
-        uA, uB, config.salt_pair_threshold,
-        target_cells=spark.sparkContext.defaultParallelism * 3).persist()
+    # uA/uB/blocks caches and completes the P1 observations. The P4
+    # removal-list collect below runs CONCURRENTLY with it in a worker
+    # thread (independent scans of the same cached sides).
+    import concurrent.futures as _fut
+
+    from pyspark.sql import Window
+
+    # P4 pairwise distinct (R/fuzzylink.R:189-190) WITHOUT shuffling the
+    # pair table: a (A,B) pair can repeat only when BOTH keys share >= 2
+    # blocks, so the exact removal list — every non-minimal common block
+    # of such a pair — is computable from the tiny multi-key slices of
+    # the SIDES. It is collected (bounded) and anti-joined as a broadcast
+    # local relation, so the melt action carries no extra build stages.
+    # Keyed by block_key here and mapped to the plan's dense block_id on
+    # the driver (the id is the rank of block_key, so ordering by key ==
+    # ordering by id and the kept minimal block is identical).
+    _REMOVAL_COLLECT_CAP = 200_000
+    multi_keys = (
+        uA.select("block_key", "key").union(uB.select("block_key", "key"))
+        .groupBy("key")
+        .agg(F.countDistinct("block_key").alias("nb"))
+        .where(F.col("nb") > 1)
+        .select("key")
+    )
+    mka = uA.join(multi_keys, "key", "left_semi").select(
+        "block_key", F.xxhash64("key").alias("a_id"))
+    mkb = uB.join(multi_keys, "key", "left_semi").select(
+        "block_key", F.xxhash64("key").alias("b_id"))
+    w = Window.partitionBy("a_id", "b_id").orderBy("block_key")
+    removal_bk = (
+        mka.join(mkb, "block_key")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select("block_key", "a_id", "b_id")
+    )
+
+    with _fut.ThreadPoolExecutor(max_workers=1) as ex:
+        removal_fut = ex.submit(
+            lambda: removal_bk.limit(_REMOVAL_COLLECT_CAP + 1).collect())
+        salt_plan = block_salt_plan(
+            uA, uB, config.salt_pair_threshold,
+            target_cells=spark.sparkContext.defaultParallelism * 3).persist()
+        plan_info = salt_plan._fl_plan_info
+        # skip the removal wait when the side stats prove no key occurs
+        # under two blocks (a pair can only duplicate when BOTH sides do)
+        need_dedup = (plan_info["nd_a"] < plan_info["sum_na"]
+                      and plan_info["nd_b"] < plan_info["sum_nb"])
+        removal_rows = removal_fut.result() if need_dedup else []
     persisted.append(salt_plan)
-    plan_info = salt_plan._fl_plan_info
 
     # the salt-plan stats job fully scanned both sides, so the P1 drop
     # observations are complete — surface the reference's warning now
@@ -264,45 +307,29 @@ def _scored_pairs_impl(
         case_insensitive=config.exact_case_insensitive,
         salt_plan=salt_plan)
 
-    # P4 pairwise distinct (R/fuzzylink.R:189-190) WITHOUT shuffling the
-    # pair table: a (A,B) pair can repeat only when BOTH keys share >= 2
-    # blocks, so the exact removal list — (block_id, a_id, b_id) of every
-    # non-minimal common block — is computable from the tiny multi-key
-    # slices of the SIDES, and a LEFT ANTI join drops the duplicates.
-    # r6: applied unconditionally as part of the melt action's DAG (empty
-    # removal list == no-op) instead of gating on a sequential driver-side
-    # multi-key count + size-estimate job pair; no broadcast hint — the
-    # removal list's size is unknown until runtime (usually tiny, but
-    # quadratic in degenerate multi-block blocking), so AQE broadcasts it
-    # when the runtime stats fit and falls back to a fixed-width int-id
-    # shuffle join otherwise (the same shuffle magnitude the old
-    # degenerate-path dropDuplicates paid).
-    multi_keys = (
-        uA.select("block_key", "key").union(uB.select("block_key", "key"))
-        .groupBy("key")
-        .agg(F.countDistinct("block_key").alias("nb"))
-        .where(F.col("nb") > 1)
-        .select("key")
-    )
-    # block ids come from the salt plan (the dense-rank authority), same
-    # ids the melt emits.
-    bid_map = F.broadcast(salt_plan.select("block_key", "block_id"))
-    mka = uA.join(multi_keys, "key", "left_semi").join(bid_map, "block_key").select(
-        "block_id", F.xxhash64("key").alias("a_id"),
-    )
-    mkb = uB.join(multi_keys, "key", "left_semi").join(bid_map, "block_key").select(
-        "block_id", F.xxhash64("key").alias("b_id"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("a_id", "b_id").orderBy("block_id")
-    removal = (
-        mka.join(mkb, "block_id")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") > 1)
-        .select("block_id", "a_id", "b_id")
-    )
-    scored = scored.join(removal, ["block_id", "a_id", "b_id"], "left_anti")
+    if need_dedup and len(removal_rows) <= _REMOVAL_COLLECT_CAP:
+        # common case: the removal list is tiny — anti-join against a
+        # broadcast LOCAL relation (block ids resolved from the plan's
+        # dense-rank authority on the driver); zero extra stages in the
+        # melt action
+        if removal_rows:
+            bid = plan_info["block_ids"]
+            local = spark.createDataFrame(
+                [(bid[r["block_key"]], r["a_id"], r["b_id"])
+                 for r in removal_rows],
+                schema="block_id int, a_id long, b_id long",
+            )
+            scored = scored.join(F.broadcast(local),
+                                 ["block_id", "a_id", "b_id"], "left_anti")
+    elif need_dedup:
+        # degenerate multi-block blocking (removal list larger than the
+        # collect cap): same exact removal computed distributed, block ids
+        # joined from the plan, AQE picking the join strategy — a fixed-
+        # width int-id shuffle at worst, never a quadratic broadcast
+        bid_map = F.broadcast(salt_plan.select("block_key", "block_id"))
+        removal = removal_bk.join(bid_map, "block_key").select(
+            "block_id", "a_id", "b_id")
+        scored = scored.join(removal, ["block_id", "a_id", "b_id"], "left_anti")
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
                               repartition_cols=["block_id"])
     if config.work_dir:
