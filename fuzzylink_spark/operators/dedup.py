@@ -122,10 +122,26 @@ def minhash_udf(num_hashes: int = 32, shingle: int = 5, seed: int = 7):
     return _mh
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input plan has fewer partitions
+    than the cluster has slots — a small single-file parquet scan would
+    otherwise run the per-document signature UDF on ONE core. Scale-
+    adaptive by construction (guide §2): any input already at or above
+    ``defaultParallelism`` partitions (every realistic large table) is
+    returned untouched, so no shuffle is ever added at scale. Row order
+    is not semantically relevant to any consumer here (signatures are
+    per-row; bucket aggregations are order-insensitive sets)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signature(df: DataFrame, content_col: str = "text",
                       num_hashes: int = 32, shingle: int = 5) -> DataFrame:
     """Add ``minhash: array<bigint>`` of length ``num_hashes``."""
-    return df.withColumn(
+    return _spread_small_scan(df).withColumn(
         "minhash", minhash_udf(num_hashes, shingle)(F.col(content_col))
     )
 

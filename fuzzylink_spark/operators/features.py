@@ -429,7 +429,38 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     return plan
 
 
-def _cogrouped_tiles(
+def prepare_tiles(
+    uA: DataFrame,
+    uB: DataFrame,
+    emb: DataFrame | None = None,
+    encoder=None,
+    pair_budget: int = 250_000,
+    max_salt: int = 4096,
+    case_insensitive: bool = True,
+    salt_plan: DataFrame | None = None,
+) -> tuple:
+    """Build the salted/repartitioned tile sides ONCE for reuse across
+    several per-tile passes (two-pass linkage runs 2-3 passes over the
+    SAME tiling — round-6: persisting the prepared sides lets the later
+    passes read cached, already-partitioned blocks and elide both the
+    side-prep compute and the cogroup exchange).
+
+    Returns ``(cogroup, persisted)``: pass ``cogroup`` to
+    ``cogrouped_pair_features(..., prepared=cogroup)`` /
+    ``cogrouped_pair_histogram(..., prepared=cogroup)``; the CALLER owns
+    the two persisted side DataFrames in ``persisted`` and must unpersist
+    them when done."""
+    a, b = _tile_sides(uA, uB, emb, encoder, pair_budget, max_salt,
+                       case_insensitive, salt_plan)
+    a = a.persist()
+    b = b.persist()
+    cg = a.groupby("block_id", "sa", "sb").cogroup(
+        b.groupby("block_id", "sa", "sb")
+    )
+    return cg, [a, b]
+
+
+def _tile_sides(
     uA: DataFrame,
     uB: DataFrame,
     emb: DataFrame | None,
@@ -482,6 +513,21 @@ def _cogrouped_tiles(
                      other="ka", case_insensitive=case_insensitive)
     b = b.withColumnRenamed("_own", "sb").withColumnRenamed("_other", "sa")
     b = b.repartition(n_part, "block_id", "sa", "sb")
+    return a, b
+
+
+def _cogrouped_tiles(
+    uA: DataFrame,
+    uB: DataFrame,
+    emb: DataFrame | None,
+    encoder,
+    pair_budget: int,
+    max_salt: int,
+    case_insensitive: bool,
+    salt_plan: DataFrame | None = None,
+):
+    a, b = _tile_sides(uA, uB, emb, encoder, pair_budget, max_salt,
+                       case_insensitive, salt_plan)
     return a.groupby("block_id", "sa", "sb").cogroup(
         b.groupby("block_id", "sa", "sb")
     )
@@ -499,6 +545,7 @@ def cogrouped_pair_histogram(
     max_salt: int = 4096,
     case_insensitive: bool = True,
     salt_plan: DataFrame | None = None,
+    prepared=None,
 ) -> DataFrame:
     """Pass 1 of the two-pass plan: the bounded 2-D (sim, jw) histogram of
     every NON-exact candidate pair, computed tile-locally and merged with
@@ -507,8 +554,9 @@ def cogrouped_pair_histogram(
     calibrate. Multi-block duplicate pairs are counted once per block
     (a <=0.01%-mass bias on realistic blocking; the calibrator fits
     distribution shape, not exact counts)."""
-    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
-                          max_salt, case_insensitive, salt_plan=salt_plan)
+    cg = prepared if prepared is not None else _cogrouped_tiles(
+        uA, uB, emb, encoder, pair_budget, max_salt, case_insensitive,
+        salt_plan=salt_plan)
     per_tile = cg.applyInPandas(
         _hist_kernel_factory(encoder, bins, lo, hi),
         schema="bx int, by int, n long",
@@ -528,6 +576,7 @@ def cogrouped_pair_features(
     band=None,
     salt_plan: DataFrame | None = None,
     arrow_melt: bool = True,
+    prepared=None,
 ) -> DataFrame:
     """Candidate generation + cosine + JW in ONE cogrouped Arrow pass,
     emitting the NUMERIC pair IR (block_id, a_id, b_id, sim, jw, exact).
@@ -552,8 +601,9 @@ def cogrouped_pair_features(
     """
     if band is not None and accept is None:
         raise ValueError("band emission requires accept=(posterior_fn, cutoff)")
-    cg = _cogrouped_tiles(uA, uB, emb, encoder, pair_budget,
-                          max_salt, case_insensitive, salt_plan=salt_plan)
+    cg = prepared if prepared is not None else _cogrouped_tiles(
+        uA, uB, emb, encoder, pair_budget, max_salt, case_insensitive,
+        salt_plan=salt_plan)
     if accept is None and encoder is not None and arrow_melt:
         # plain melt on the in-tile-encoder path: Arrow-native kernel
         # (pa.Table out of the numpy arrays, no pandas hop) — same values

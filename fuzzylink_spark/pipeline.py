@@ -610,7 +610,7 @@ def fuzzylink_twopass(
         return _twopass_body(
             spark, dfA, dfB, config, bins, labeler, al_band_delta,
             al_band_cap, uA, uB, blocks, salt_plan, encoder,
-            cb=_progress_fn(progress, verbose))
+            cb=_progress_fn(progress, verbose), persisted=persisted)
     except BaseException:
         for df in persisted:
             df.unpersist()
@@ -618,7 +618,8 @@ def fuzzylink_twopass(
 
 
 def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
-                  al_band_cap, uA, uB, blocks, salt_plan, encoder, cb=None):
+                  al_band_cap, uA, uB, blocks, salt_plan, encoder, cb=None,
+                  persisted=None):
     import time
 
     import numpy as np
@@ -631,8 +632,19 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
         cogrouped_pair_features,
         cogrouped_pair_histogram,
         pair_dictionaries,
+        prepare_tiles,
     )
     from fuzzylink_spark.operators.scoring import fit_mixture2d_em
+
+    # one PREPARED (persisted) tiling shared by every pass: pass 1
+    # materializes the salted/repartitioned sides; pass 2 (and the AL band
+    # pass) read cached, already-partitioned blocks and elide the cogroup
+    # exchange (r6)
+    tiles, tile_sides = prepare_tiles(
+        uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
+        case_insensitive=config.exact_case_insensitive, salt_plan=salt_plan)
+    if persisted is not None:
+        persisted.extend(tile_sides)  # released by the caller on any raise
 
     # pass 1: bounded histogram -> driver-side EM + cutoff. The exact-pair
     # count (a tiny side join, needed only after the histogram) runs in a
@@ -663,7 +675,7 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
             uA, uB, encoder=encoder, bins=bins, lo=lo, hi=hi,
             pair_budget=config.salt_pair_threshold,
             case_insensitive=config.exact_case_insensitive,
-            salt_plan=salt_plan).collect()
+            salt_plan=salt_plan, prepared=tiles).collect()
         n_exact = exact_fut.result()
     if not cells:
         raise ValueError("no non-exact candidate pairs to calibrate on")
@@ -713,7 +725,7 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
             uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
             case_insensitive=config.exact_case_insensitive,
             accept=(post, cutoff), band=(al_band_delta, al_band_cap, 2),
-            salt_plan=salt_plan)
+            salt_plan=salt_plan, prepared=tiles)
         pool = banded.dropDuplicates(["a_id", "b_id"])
         pool = attach_pair_strings(pool, key_dict, block_dict).drop("accepted")
         # the pool is bounded — materialize it so the AL rounds iterate
@@ -771,7 +783,7 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
     accepted = cogrouped_pair_features(
         uA, uB, encoder=encoder, pair_budget=config.salt_pair_threshold,
         case_insensitive=config.exact_case_insensitive,
-        accept=(post, cutoff), salt_plan=salt_plan)
+        accept=(post, cutoff), salt_plan=salt_plan, prepared=tiles)
     accepted = accepted.withColumn(
         "match",
         F.when(F.col("exact"), F.lit("Yes")).otherwise(F.lit(None).cast("string")),
@@ -811,7 +823,7 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
             F.col("match").isin("Yes", "No")).count()
     # the accepted set is materialized in cache now — release the side
     # caches so repeated calls in one session don't accumulate storage
-    for df in (uA, uB, blocks, salt_plan):
+    for df in (uA, uB, blocks, salt_plan, *tile_sides):
         df.unpersist()
     return LinkResult(linked=linked, pairs=accepted, cutoff=cutoff,
                       model=model_out, metrics=metrics)
