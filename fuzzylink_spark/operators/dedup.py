@@ -225,7 +225,7 @@ def lsh_candidate_pairs_portable(
     if 8 % bands != 0:
         raise ValueError(f"bands={bands} must divide the 8-hash portable family")
     rows = 8 // bands
-    sig = df.select(
+    sig = _spread_small_scan(df).select(
         F.col(id_col),
         minhash_portable_udf(shingle=shingle)(F.lower(F.col(content_col))).alias("s"),
     )
@@ -992,7 +992,8 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """SimHash near-dup pairs: band the 64-bit sketch into 4×16-bit chunks;
     by pigeonhole, any pair within Hamming distance 3 shares ≥1 exact
     chunk → equi-join per chunk, then exact Hamming filter via bit_count."""
-    sk = df.select(F.col(id_col), simhash64_udf()(F.col(content_col)).alias("_sk"))
+    sk = _spread_small_scan(df).select(
+        F.col(id_col), simhash64_udf()(F.col(content_col)).alias("_sk"))
     banded = sk.select(
         id_col, "_sk",
         F.explode(
@@ -1078,8 +1079,8 @@ def simhash_candidate_pairs_portable(df: DataFrame, id_col: str = "doc_id",
     the SAME banded recall, so the DuckDB value oracle stays exact.
     Same 100 TB plan shape as the production variant: scan-local
     sketching, bounded chunk equi-join, no all-pairs anywhere."""
-    sk = df.select(F.col(id_col),
-                   simhash62_portable_udf()(F.col(content_col)).alias("_sk"))
+    sk = _spread_small_scan(df).select(
+        F.col(id_col), simhash62_portable_udf()(F.col(content_col)).alias("_sk"))
     sk = sk.where(F.col("_sk").isNotNull())
     banded = sk.select(
         id_col, "_sk",

@@ -67,6 +67,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # columnar-cache batches: the pair IR is 29 B/row fixed-width, so
+        # 64k-row batches cut per-batch build overhead ~6x vs the 10k
+        # default (measured: persist+count of the 1.5M-row IR 1.70s ->
+        # 1.23s) at ~2 MB/batch/column — safe at any scale
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
+        # allow shuffled-hash join where the per-partition build side fits
+        # (guide §3.1); strategy choice never changes results, AQE still
+        # re-plans at runtime
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # production writes (checkpoints, sinks): zstd over snappy
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
