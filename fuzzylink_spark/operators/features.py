@@ -500,11 +500,13 @@ def _tile_sides(
         row = block_k.agg(
             F.sum(F.col("ka").cast("long") * F.col("kb")).alias("c")).first()
         total_cells = int(row["c"] or 1)
-    # 4 partition slots per tile: tiles are seconds of kernel compute, so
-    # two tiles hash-colliding into one partition creates a straggler that
-    # caps scaling; extra empty partitions cost only empty-task launches.
+    # 2 partition slots per tile: a tile is ~25 ms of kernel compute since
+    # the r6 native JW kernel (was seconds), so a hash collision of two
+    # tiles into one partition is a ~25 ms straggler — the old 4x headroom
+    # bought nothing while its extra empty partitions cost ~0.2 s of task
+    # launches per action (measured: melt noop 0.905s @4x, 0.702s @2x).
     # AQE is pinned off this exchange by the explicit repartition-by-num.
-    n_part = int(min(max(sc.defaultParallelism * 2, total_cells * 4), 65536))
+    n_part = int(min(max(sc.defaultParallelism * 2, total_cells * 2), 65536))
     a = _salted_side(_fresh(uA), _fresh(emb_used), _fresh(block_k), own="ka",
                      other="kb", case_insensitive=case_insensitive)
     a = a.withColumnRenamed("_own", "sa").withColumnRenamed("_other", "sb")
