@@ -383,23 +383,24 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     for valid Unicode)."""
     import math
 
-    ca = uA.groupBy("block_key").agg(F.count("*").alias("n_a"))
-    cb = uB.groupBy("block_key").agg(F.count("*").alias("n_b"))
-    # FULL outer: one-sided blocks pair with nothing but still need a
-    # distinct block_id (they flow through the cogroup as empty-other
-    # groups; a shared fallback id would cross-pair them)
-    stats = ca.join(cb, "block_key", "full").na.fill({"n_a": 0, "n_b": 0})
-    # marker row (NULL block_key — real block keys are never null): global
-    # distinct-key counts per side, so consumers can detect multi-block
-    # keys (nd < sum of per-block counts) without another job
-    marker = (
-        uA.agg(F.countDistinct("key").alias("n_a"))
-        .crossJoin(uB.agg(F.countDistinct("key").alias("n_b")))
-        .select(F.lit(None).cast("string").alias("block_key"), "n_a", "n_b")
-    )
-    all_rows = stats.unionByName(marker).collect()
-    rows = [r for r in all_rows if r["block_key"] is not None]
-    nd = next((r for r in all_rows if r["block_key"] is None), None)
+    # ONE aggregation over the tagged union replaces two per-side groupBys
+    # + a full-outer join (the driver assembles the outer join from the
+    # collected (block_key, side, n) rows): fewer chained stages in the
+    # stats job. One-sided blocks still get a row (from whichever side has
+    # them) and a distinct block_id — they flow through the cogroup as
+    # empty-other groups; a shared fallback id would cross-pair them.
+    tagged = uA.select("block_key", F.lit(0).alias("_side")).unionByName(
+        uB.select("block_key", F.lit(1).alias("_side")))
+    counted = tagged.groupBy("block_key", "_side").agg(
+        F.count("*").alias("n")).collect()
+    na: dict = {}
+    nb: dict = {}
+    for r in counted:
+        (na if r["_side"] == 0 else nb)[r["block_key"]] = r["n"]
+    rows = [
+        {"block_key": bk, "n_a": na.get(bk, 0), "n_b": nb.get(bk, 0)}
+        for bk in set(na) | set(nb)
+    ]
     total_pairs = sum(r["n_a"] * r["n_b"] for r in rows)
     if target_cells:
         pair_budget = int(max(50_000,
@@ -422,8 +423,6 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
         "total_pairs": total_pairs,
         "sum_na": sum(r["n_a"] for r in rows),
         "sum_nb": sum(r["n_b"] for r in rows),
-        "nd_a": int(nd["n_a"]) if nd is not None else 0,
-        "nd_b": int(nd["n_b"]) if nd is not None else 0,
         "block_ids": {r[0]: r[3] for r in out_rows},
     }
     return plan

@@ -280,12 +280,11 @@ def _scored_pairs_impl(
             uA, uB, config.salt_pair_threshold,
             target_cells=spark.sparkContext.defaultParallelism * 3).persist()
         plan_info = salt_plan._fl_plan_info
-        # skip the removal wait when the side stats prove no key occurs
-        # under two blocks (a pair can only duplicate when BOTH sides do)
-        need_dedup = (plan_info["nd_a"] < plan_info["sum_na"]
-                      and plan_info["nd_b"] < plan_info["sum_nb"])
-        removal_rows = removal_fut.result() if need_dedup else []
+        removal_rows = removal_fut.result()
     persisted.append(salt_plan)
+    # a pair duplicates only when BOTH its keys share >= 2 blocks; the
+    # collected list IS the decision — empty means no dedup join at all
+    need_dedup = len(removal_rows) > 0
 
     # the salt-plan stats job fully scanned both sides, so the P1 drop
     # observations are complete — surface the reference's warning now
