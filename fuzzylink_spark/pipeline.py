@@ -50,6 +50,12 @@ from fuzzylink_spark.plans.checkpoint import CheckpointManager, fingerprint
 
 log = logging.getLogger(__name__)
 
+# P4 removal-list driver bounds: above either cap the pipeline falls back
+# to the distributed removal plan (module-level so tests can exercise the
+# degenerate path)
+_OCC_COLLECT_CAP = 200_000
+_REMOVAL_PAIR_CAP = 2_000_000
+
 
 def _progress_fn(progress, verbose: bool):
     """Resolve the per-stage progress surface (reference ``verbose``,
@@ -248,43 +254,60 @@ def _scored_pairs_impl(
     # pair table: a (A,B) pair can repeat only when BOTH keys share >= 2
     # blocks, so the exact removal list — every non-minimal common block
     # of such a pair — is computable from the tiny multi-key slices of
-    # the SIDES. It is collected (bounded) and anti-joined as a broadcast
-    # local relation, so the melt action carries no extra build stages.
-    # Keyed by block_key here and mapped to the plan's dense block_id on
-    # the driver (the id is the rank of block_key, so ordering by key ==
-    # ordering by id and the kept minimal block is identical).
-    _REMOVAL_COLLECT_CAP = 200_000
-    multi_keys = (
-        uA.select("block_key", "key").union(uB.select("block_key", "key"))
+    # the SIDES. One bounded aggregation collects each multi-block key's
+    # (side, block) occurrences (+ its Spark-computed xxhash64 id) and the
+    # per-block cross product + minimal-block window replay on the DRIVER
+    # (sorted(blocks)[1:] == the old Window.orderBy(block_key) rn>1 —
+    # block_id is the key's rank, so the kept minimal block is identical).
+    # The old shape chained multi-key aggregate -> two semi joins -> an
+    # equi join -> a window (~1.0s of sequential stages even on cached
+    # sides); this is one 2-stage job that runs CONCURRENTLY with the
+    # salt-plan stats job below.
+    mk_occ = (
+        uA.select("block_key", "key", F.lit(0).alias("_side"))
+        .unionByName(uB.select("block_key", "key", F.lit(1).alias("_side")))
         .groupBy("key")
-        .agg(F.countDistinct("block_key").alias("nb"))
+        .agg(F.collect_list(F.struct("_side", "block_key")).alias("occs"),
+             F.countDistinct("block_key").alias("nb"))
         .where(F.col("nb") > 1)
-        .select("key")
-    )
-    mka = uA.join(multi_keys, "key", "left_semi").select(
-        "block_key", F.xxhash64("key").alias("a_id"))
-    mkb = uB.join(multi_keys, "key", "left_semi").select(
-        "block_key", F.xxhash64("key").alias("b_id"))
-    w = Window.partitionBy("a_id", "b_id").orderBy("block_key")
-    removal_bk = (
-        mka.join(mkb, "block_key")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") > 1)
-        .select("block_key", "a_id", "b_id")
+        .select(F.xxhash64("key").alias("h"), "occs")
     )
 
     with _fut.ThreadPoolExecutor(max_workers=1) as ex:
-        removal_fut = ex.submit(
-            lambda: removal_bk.limit(_REMOVAL_COLLECT_CAP + 1).collect())
+        occ_fut = ex.submit(
+            lambda: mk_occ.limit(_OCC_COLLECT_CAP + 1).collect())
         salt_plan = block_salt_plan(
             uA, uB, config.salt_pair_threshold,
             target_cells=spark.sparkContext.defaultParallelism * 3).persist()
         plan_info = salt_plan._fl_plan_info
-        removal_rows = removal_fut.result()
+        occ_rows = occ_fut.result()
     persisted.append(salt_plan)
-    # a pair duplicates only when BOTH its keys share >= 2 blocks; the
-    # collected list IS the decision — empty means no dedup join at all
-    need_dedup = len(removal_rows) > 0
+
+    removal_rows: list | None = None
+    if not occ_rows:
+        removal_rows = []  # no key spans two blocks: no duplicate pairs
+    elif len(occ_rows) <= _OCC_COLLECT_CAP:
+        from collections import defaultdict
+
+        block_a: dict = defaultdict(list)
+        block_b: dict = defaultdict(list)
+        for r in occ_rows:
+            for o in r["occs"]:
+                (block_a if o["_side"] == 0 else block_b)[o["block_key"]].append(r["h"])
+        common = [bk for bk in block_a if bk in block_b]
+        n_cross = sum(len(block_a[bk]) * len(block_b[bk]) for bk in common)
+        if n_cross <= _REMOVAL_PAIR_CAP:
+            pair_blocks: dict = defaultdict(list)
+            for bk in common:
+                for ah in block_a[bk]:
+                    for bh in block_b[bk]:
+                        pair_blocks[(ah, bh)].append(bk)
+            removal_rows = [
+                {"block_key": bk, "a_id": ah, "b_id": bh}
+                for (ah, bh), bks in pair_blocks.items()
+                if len(bks) > 1
+                for bk in sorted(bks)[1:]
+            ]
 
     # the salt-plan stats job fully scanned both sides, so the P1 drop
     # observations are complete — surface the reference's warning now
@@ -306,28 +329,46 @@ def _scored_pairs_impl(
         case_insensitive=config.exact_case_insensitive,
         salt_plan=salt_plan)
 
-    if need_dedup and len(removal_rows) <= _REMOVAL_COLLECT_CAP:
+    if removal_rows:
         # common case: the removal list is tiny — anti-join against a
         # broadcast LOCAL relation (block ids resolved from the plan's
         # dense-rank authority on the driver); zero extra stages in the
         # melt action
-        if removal_rows:
-            bid = plan_info["block_ids"]
-            local = spark.createDataFrame(
-                [(bid[r["block_key"]], r["a_id"], r["b_id"])
-                 for r in removal_rows],
-                schema="block_id int, a_id long, b_id long",
-            )
-            scored = scored.join(F.broadcast(local),
-                                 ["block_id", "a_id", "b_id"], "left_anti")
-    elif need_dedup:
-        # degenerate multi-block blocking (removal list larger than the
-        # collect cap): same exact removal computed distributed, block ids
-        # joined from the plan, AQE picking the join strategy — a fixed-
-        # width int-id shuffle at worst, never a quadratic broadcast
+        bid = plan_info["block_ids"]
+        local = spark.createDataFrame(
+            [(bid[r["block_key"]], r["a_id"], r["b_id"])
+             for r in removal_rows],
+            schema="block_id int, a_id long, b_id long",
+        )
+        scored = scored.join(F.broadcast(local),
+                             ["block_id", "a_id", "b_id"], "left_anti")
+    elif removal_rows is None:
+        # degenerate multi-block blocking (occurrence or cross-product
+        # caps exceeded): same exact removal computed distributed —
+        # multi-key slices, equi join per block, minimal-block window —
+        # block ids joined from the plan, AQE picking the join strategy:
+        # a fixed-width int-id shuffle at worst, never a quadratic
+        # broadcast or driver materialization
+        multi_keys = (
+            uA.select("block_key", "key").union(uB.select("block_key", "key"))
+            .groupBy("key")
+            .agg(F.countDistinct("block_key").alias("nb"))
+            .where(F.col("nb") > 1)
+            .select("key")
+        )
+        mka = uA.join(multi_keys, "key", "left_semi").select(
+            "block_key", F.xxhash64("key").alias("a_id"))
+        mkb = uB.join(multi_keys, "key", "left_semi").select(
+            "block_key", F.xxhash64("key").alias("b_id"))
+        w = Window.partitionBy("a_id", "b_id").orderBy("block_key")
         bid_map = F.broadcast(salt_plan.select("block_key", "block_id"))
-        removal = removal_bk.join(bid_map, "block_key").select(
-            "block_id", "a_id", "b_id")
+        removal = (
+            mka.join(mkb, "block_key")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .join(bid_map, "block_key")
+            .select("block_id", "a_id", "b_id")
+        )
         scored = scored.join(removal, ["block_id", "a_id", "b_id"], "left_anti")
     scored = ckpt.materialize("pairs", fingerprint(base_fp, "pairs"), scored,
                               repartition_cols=["block_id"])
