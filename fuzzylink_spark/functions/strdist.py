@@ -339,12 +339,16 @@ def _jw_cross_block(xs: list[str], ys: list[str], xcodes: np.ndarray,
     for k, code in enumerate(codes):
         cm_lut[k] = np.where(ycodes == code, bitvals, np.uint64(0)).sum(
             axis=1, dtype=np.uint64)
-    # x char -> LUT row (misses map to the zero row)
-    xidx = np.searchsorted(codes, xcodes)
-    xidx = np.where(
-        (xidx < len(codes)) & (codes[np.minimum(xidx, len(codes) - 1)] == xcodes),
-        xidx, len(codes),
-    )
+    # x char -> LUT row (misses map to the zero row). Empty code table
+    # (every y empty or >64 chars): all lookups hit the zero row.
+    if len(codes):
+        xidx = np.searchsorted(codes, xcodes)
+        xidx = np.where(
+            (xidx < len(codes)) & (codes[np.minimum(xidx, len(codes) - 1)] == xcodes),
+            xidx, len(codes),
+        )
+    else:
+        xidx = np.zeros_like(xcodes)
 
     P = nx * ny
     lyx = np.maximum(xlens[:, None], ylens[None, :])

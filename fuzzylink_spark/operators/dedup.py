@@ -123,18 +123,35 @@ def minhash_udf(num_hashes: int = 32, shingle: int = 5, seed: int = 7):
 
 
 def _spread_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input plan has fewer partitions
-    than the cluster has slots — a small single-file parquet scan would
-    otherwise run the per-document signature UDF on ONE core. Scale-
-    adaptive by construction (guide §2): any input already at or above
-    ``defaultParallelism`` partitions (every realistic large table) is
-    returned untouched, so no shuffle is ever added at scale. Row order
-    is not semantically relevant to any consumer here (signatures are
-    per-row; bucket aggregations are order-insensitive sets)."""
+    """Round-robin repartition when the input is a SMALL file scan — a
+    single-file parquet table would otherwise run the per-document
+    signature UDF on one core. The probe reads only file METADATA
+    (``inputFiles`` + FileSystem sizes): non-file inputs (joins,
+    aggregates, local relations) and anything over a few files / 64 MB
+    are returned untouched, so no shuffle is ever added at scale and no
+    plan is ever eagerly executed (``df.rdd`` under AQE materializes
+    upstream stages at plan-build time — measured — so it must not be
+    used here). Row order is not semantically relevant to any consumer
+    (signatures are per-row; bucket aggregations are order-insensitive
+    sets)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — exotic sources: leave untouched
+        return df
+    if not files or len(files) > 8:
+        return df
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    try:
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    except Exception:  # noqa: BLE001 — metadata unavailable: leave untouched
+        return df
+    if total <= 64 * 1024 * 1024:
+        return df.repartition(sc.defaultParallelism)
     return df
 
 
@@ -187,10 +204,16 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # size-filter BEFORE the list materializes: the windowed count spills
+    # oversized (band, bucket) groups to disk, so a degenerate 10^7-doc
+    # boilerplate bucket never builds a giant aggregation buffer only to
+    # be dropped; the groupBy reuses the window's exchange (same keys)
+    _wb = Window.partitionBy("band", "bucket")
     members = (
-        banded.groupBy("band", "bucket")
+        banded.withColumn("_bsz", F.count("*").over(_wb))
+        .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
+        .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
     # sorted members + position slicing emit each a<b pair exactly once —
     # half the rows of the naive double explode, no value filter (r6)
@@ -248,10 +271,16 @@ def lsh_candidate_pairs_portable(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # same single-aggregation pair generation as lsh_candidate_pairs
     # (round-6): signatures compute once, buckets bound in the aggregate
+    # size-filter BEFORE the list materializes: the windowed count spills
+    # oversized (band, bucket) groups to disk, so a degenerate 10^7-doc
+    # boilerplate bucket never builds a giant aggregation buffer only to
+    # be dropped; the groupBy reuses the window's exchange (same keys)
+    _wb = Window.partitionBy("band", "bucket")
     members = (
-        banded.groupBy("band", "bucket")
+        banded.withColumn("_bsz", F.count("*").over(_wb))
+        .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
+        .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
     # sorted members + position slicing emit each a<b pair exactly once —
     # half the rows of the naive double explode, no value filter (r6)
@@ -301,10 +330,14 @@ def lsh_bucket_star_edges(
     # round-6: one aggregation collects each bucket's members (the former
     # size-filter join re-evaluated the MinHash signature subtree twice);
     # the star explodes from the collected list, min member as root
+    # same spillable-window size filter as lsh_candidate_pairs: oversized
+    # buckets are dropped before any member list materializes
+    _wb = Window.partitionBy("band", "bucket")
     members = (
-        banded.groupBy("band", "bucket")
+        banded.withColumn("_bsz", F.count("*").over(_wb))
+        .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
+        .groupBy("band", "bucket")
         .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
         .select(F.array_min("_ids").alias("_root"), "_ids")
     )
     return (

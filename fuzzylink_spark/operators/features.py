@@ -408,11 +408,11 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
     out_rows = []
     total_cells = 0
     for bid, r in enumerate(sorted(rows, key=lambda r: r["block_key"]), 1):
-        na, nb = r["n_a"], r["n_b"]
-        cells = min(max(math.ceil(na * nb / pair_budget), 1), max_salt)
+        n_a, n_b = r["n_a"], r["n_b"]
+        cells = min(max(math.ceil(n_a * n_b / pair_budget), 1), max_salt)
         # square-ish grid: ka/kb proportional to side sizes, ka*kb >= cells
-        ka = min(max(math.ceil(math.sqrt(cells * na / max(nb, 1))), 1),
-                 max(na, 1))
+        ka = min(max(math.ceil(math.sqrt(cells * n_a / max(n_b, 1))), 1),
+                 max(n_a, 1))
         kb = max(math.ceil(cells / ka), 1)
         total_cells += ka * kb
         out_rows.append((r["block_key"], ka, kb, bid))
@@ -426,6 +426,25 @@ def block_salt_plan(uA: DataFrame, uB: DataFrame, pair_budget: int = 50_000,
         "block_ids": {r[0]: r[3] for r in out_rows},
     }
     return plan
+
+
+def plan_info_of(plan: DataFrame, uA: DataFrame, uB: DataFrame) -> dict:
+    """The salt plan's collected stats. Plans built by ``block_salt_plan``
+    in this session carry them as ``_fl_plan_info``; a plan restored from
+    storage or passed through a transformation (which drops Python
+    attributes) recomputes them here with bounded jobs instead of
+    surfacing an AttributeError deep in the pipeline."""
+    info = getattr(plan, "_fl_plan_info", None)
+    if info is not None:
+        return info
+    rows = plan.select("block_key", "ka", "kb", "block_id").collect()
+    return {
+        "total_cells": sum(r["ka"] * r["kb"] for r in rows),
+        "total_pairs": None,
+        "sum_na": uA.count(),
+        "sum_nb": uB.count(),
+        "block_ids": {r["block_key"]: r["block_id"] for r in rows},
+    }
 
 
 def prepare_tiles(

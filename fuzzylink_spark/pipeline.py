@@ -50,10 +50,13 @@ from fuzzylink_spark.plans.checkpoint import CheckpointManager, fingerprint
 
 log = logging.getLogger(__name__)
 
-# P4 removal-list driver bounds: above either cap the pipeline falls back
+# P4 removal-list driver bounds: above any cap the pipeline falls back
 # to the distributed removal plan (module-level so tests can exercise the
-# degenerate path)
-_OCC_COLLECT_CAP = 200_000
+# degenerate path). The byte budget of the collect is bounded by
+# construction: <= _OCC_COLLECT_CAP keys x (_OCC_PER_KEY_CAP + 1)
+# occurrence structs (~100 MB worst case), never the raw occurrence set.
+_OCC_COLLECT_CAP = 50_000
+_OCC_PER_KEY_CAP = 32
 _REMOVAL_PAIR_CAP = 2_000_000
 
 
@@ -230,7 +233,11 @@ def _scored_pairs_impl(
     # exists; embeddings computed in-tile from keys (shuffle moves strings,
     # never vectors)
     from fuzzylink_spark.functions.vectors import embed_strings
-    from fuzzylink_spark.operators.features import block_salt_plan, cogrouped_pair_features
+    from fuzzylink_spark.operators.features import (
+        block_salt_plan,
+        cogrouped_pair_features,
+        plan_info_of,
+    )
 
     dim, ngrams, eseed = (config.embedding_dim, config.encoder_ngrams,
                           config.encoder_seed)
@@ -270,7 +277,11 @@ def _scored_pairs_impl(
         .agg(F.collect_list(F.struct("_side", "block_key")).alias("occs"),
              F.countDistinct("block_key").alias("nb"))
         .where(F.col("nb") > 1)
-        .select(F.xxhash64("key").alias("h"), "occs")
+        # per-key slice bounds the bytes shipped to the driver; a key with
+        # more occurrences than the cap arrives truncated (detected below
+        # by length) and forces the distributed fallback
+        .select(F.xxhash64("key").alias("h"),
+                F.slice("occs", 1, _OCC_PER_KEY_CAP + 1).alias("occs"))
     )
 
     with _fut.ThreadPoolExecutor(max_workers=1) as ex:
@@ -279,14 +290,15 @@ def _scored_pairs_impl(
         salt_plan = block_salt_plan(
             uA, uB, config.salt_pair_threshold,
             target_cells=spark.sparkContext.defaultParallelism * 3).persist()
-        plan_info = salt_plan._fl_plan_info
+        plan_info = plan_info_of(salt_plan, uA, uB)
         occ_rows = occ_fut.result()
     persisted.append(salt_plan)
 
     removal_rows: list | None = None
     if not occ_rows:
         removal_rows = []  # no key spans two blocks: no duplicate pairs
-    elif len(occ_rows) <= _OCC_COLLECT_CAP:
+    elif (len(occ_rows) <= _OCC_COLLECT_CAP
+          and all(len(r["occs"]) <= _OCC_PER_KEY_CAP for r in occ_rows)):
         from collections import defaultdict
 
         block_a: dict = defaultdict(list)
@@ -635,13 +647,13 @@ def fuzzylink_twopass(
         # Its collected stats also answer the dfB-overlap check and the
         # side counts downstream — the pre-r6 shape paid a limit(1) probe
         # plus two count() jobs for those.
-        from fuzzylink_spark.operators.features import block_salt_plan
+        from fuzzylink_spark.operators.features import block_salt_plan, plan_info_of
 
         salt_plan = block_salt_plan(
             uA, uB, config.salt_pair_threshold,
             target_cells=spark.sparkContext.defaultParallelism * 3).persist()
         persisted.append(salt_plan)
-        if blocking and salt_plan._fl_plan_info["sum_nb"] == 0:
+        if blocking and plan_info_of(salt_plan, uA, uB)["sum_nb"] == 0:
             raise ValueError(
                 "blocking removed every dfB row: no overlap between dfA and "
                 f"dfB on blocking keys {blocking}"
@@ -672,6 +684,7 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
         cogrouped_pair_features,
         cogrouped_pair_histogram,
         pair_dictionaries,
+        plan_info_of,
         prepare_tiles,
     )
     from fuzzylink_spark.operators.scoring import fit_mixture2d_em
@@ -726,7 +739,7 @@ def _twopass_body(spark, dfA, dfB, config, bins, labeler, al_band_delta,
     n_pairs = float(hist[:, 2].sum())
     # |uA|, |uB| from the collected plan stats — the pre-r6 shape paid two
     # sequential count() jobs here
-    plan_info = salt_plan._fl_plan_info
+    plan_info = plan_info_of(salt_plan, uA, uB)
     stats = plan_info["sum_na"], plan_info["sum_nb"]
     model = fit_mixture2d_em(hist, prevalence_hint=min(stats) / max(n_pairs, 1.0))
     model.features = ("sim", "jw")

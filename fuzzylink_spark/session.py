@@ -68,9 +68,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # columnar-cache batches: the pair IR is 29 B/row fixed-width, so
-        # 64k-row batches cut per-batch build overhead ~6x vs the 10k
-        # default (measured: persist+count of the 1.5M-row IR 1.70s ->
-        # 1.23s) at ~2 MB/batch/column — safe at any scale
+        # 64k-row batches cut per-batch build overhead vs the 10k default
+        # (measured: persist+count of the 1.5M-row IR 1.70s -> 1.23s; the
+        # intermediate 32k setting keeps almost none of the win) at
+        # ~2 MB/batch/column for the IR. CAVEAT: this is session-global —
+        # persisting a table with multi-KB text cells builds ~6.5x larger
+        # batch buffers than the default; override via extra_conf when
+        # caching wide rows through this factory
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         # allow shuffled-hash join where the per-partition build side fits
         # (guide §3.1); strategy choice never changes results, AQE still

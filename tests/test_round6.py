@@ -61,6 +61,22 @@ def test_jw_cross_2d_chunk_boundaries(monkeypatch):
         assert np.array_equal(jaro_winkler_cross(xs, ys), want)
 
 
+def test_jw_cross_all_degenerate_y_sides(monkeypatch):
+    """A tile whose b side is entirely empty/overlong strings must not
+    crash either kernel path (regression: the numpy fallback indexed an
+    empty code table)."""
+    import fuzzylink_spark.functions._jw_native as njw
+
+    xs = ["abc", "a b c", "z" * 64]
+    for ys in (["", ""], ["x" * 70, "y" * 100], ["", "x" * 70]):
+        want = _row_batched_cross(xs, ys)
+        assert np.array_equal(jaro_winkler_cross(xs, ys), want)
+        monkeypatch.setattr(njw, "_FN", None)
+        monkeypatch.setattr(njw, "_TRIED", True)
+        assert np.array_equal(jaro_winkler_cross(xs, ys), want)
+        monkeypatch.setattr(njw, "_TRIED", False)
+
+
 def test_jw_cross_native_and_numpy_paths_agree(monkeypatch):
     """The C kernel (when a compiler exists) and the numpy 2-D kernel must
     produce identical bits; both must match the row-batched reference."""
